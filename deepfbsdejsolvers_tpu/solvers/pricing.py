@@ -1,0 +1,374 @@
+"""Deep-BSDE pricing solvers — all 7 schemes x 2 noise regimes.
+
+Rebuilds the full solver matrix of the reference as ONE parametrized rollout
+family instead of 14 copy-pasted classes:
+
+  scheme          jump-diffusion reference          pure-jump reference
+  --------------  --------------------------------- ---------------------------------
+  global          SolversJumpDiff.SolverGlobalFBSDE       SolversPureJump.SolverGlobalFBSDE
+  multistep1      ...SolverMultiStepFBSDE1:75             ...:74
+  multistep2      ...SolverMultiStepFBSDE2:151            ...:143
+  sumlocal1       ...SolverSumLocalFBSDE1:226             ...:210
+  sumlocal2       ...SolverSumLocalFBSDE2:305             ...:282
+  sumlocal_reg    ...SolverGlobalSumLocalReg:385          ...:355
+  multistep_reg   ...SolverGlobalMultiStepReg:453         ...:422
+
+The BSDE is  dY = -f(Y) dt [+ Z dW] + Γ dΠ̃  with Γ's compensator evaluated by
+an inner sweep over the jump law (ops/compensator.py).  Schemes differ in the
+loss and in how Γ is parametrized:
+
+* global        — trainable scalar Y0, terminal loss E(Y_N - g(X_N))².
+* multistep1/2  — forward-replication loss Σ_i E(Y_i + Σ_{j≥i} toAdd_j - g(X_N))²
+                  (equivalent to the reference's "add toAdd to every previous
+                  list entry" accumulation — a suffix sum).
+* sumlocal1/2   — one-step residual loss Σ_i E(Y_{i+1} - Y_i + toAdd_i)².
+* *_reg         — pure regression on Y (no Z/Γ in the loss).
+* "1" variants reuse the U-net as Γ (Γ = U(t, X·e^J) jump-diff / U(t, X+X·J)
+  pure-jump); "2" variants carry a separate Γ-net.
+
+Reference idiosyncrasies preserved on purpose (documented where they occur):
+the time feature fed to the nets is the *raw step index* i (not i·dt); the
+sumlocal variants evaluate the step-(i+1) state with time feature i; the
+pure-jump global solver trains only the Γ-net, which also carries Y0.
+
+TPU-first: the time loop is a single ``lax.scan``; per-step RNG comes from
+``fold_in(key, i)``; everything compiles to one XLA program.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deepfbsdejsolvers_tpu.nets.mlp import MLPSpec, get_activation, init_mlp, mlp_apply
+from deepfbsdejsolvers_tpu.ops.compensator import CompensatorSpec, compensated_mean
+
+PRICING_SCHEMES = (
+    "global",
+    "multistep1",
+    "multistep2",
+    "sumlocal1",
+    "sumlocal2",
+    "sumlocal_reg",
+    "multistep_reg",
+)
+
+Params = Dict[str, dict]
+
+
+def _suffix_sum(x: jax.Array) -> jax.Array:
+    """S_i = sum_{j >= i} x_j along axis 0 (the multistep accumulation:
+    SolversJumpDiff.py:107-108 adds toAdd_i to every previous list entry)."""
+    return jnp.cumsum(x[::-1], axis=0)[::-1]
+
+
+@dataclasses.dataclass(frozen=True)
+class PricingSolver:
+    """Builds pure ``loss(params, key)`` closures for one (model, scheme) pair.
+
+    ``model`` is a MertonJumpModel / VGModel-like object exposing:
+    ``regime, N, dt, init_x, sample_jumps, step, f, payoff, jump_quadrature``.
+    """
+
+    model: object
+    scheme: str
+    hidden: Tuple[int, ...] = (21, 21)
+    activation: str = "tanh"
+    compensator: CompensatorSpec = CompensatorSpec()
+    remat: bool = True
+
+    def __post_init__(self):
+        if self.scheme not in PRICING_SCHEMES:
+            raise ValueError(f"scheme must be one of {PRICING_SCHEMES}, got {self.scheme!r}")
+        if self.model.regime not in ("jump_diffusion", "pure_jump"):
+            raise ValueError(f"unknown regime {self.model.regime!r}")
+        if self.compensator.kind == "quadrature":
+            nodes, weights = self.model.jump_quadrature(self.compensator)
+        else:
+            nodes, weights = None, None
+        object.__setattr__(self, "_quad", (nodes, weights))
+        object.__setattr__(self, "_act", get_activation(self.activation))
+
+    # ------------------------------------------------------------------ nets
+    @property
+    def jump_diff(self) -> bool:
+        return self.model.regime == "jump_diffusion"
+
+    def net_specs(self) -> Dict[str, MLPSpec]:
+        """Network wiring per scheme, mirroring mainMerton.py:94-102 (jump-diff:
+        UZ-net carries Y0 for global, 2 outputs for Z-bearing schemes, Γ-net has
+        3 inputs) and mainVG.py:91-95 (pure-jump: U-net 1 output, Γ-net carries
+        Y0 for global)."""
+        h, a = self.hidden, self.activation
+        specs: Dict[str, MLPSpec] = {}
+        if self.jump_diff:
+            if self.scheme == "global":
+                specs["uz"] = MLPSpec(2, h, 1, a, with_y0=True)   # -> Z
+                specs["gam"] = MLPSpec(3, h, 1, a)                # (t, X, J)
+            elif self.scheme in ("multistep1", "sumlocal1"):
+                specs["uz"] = MLPSpec(2, h, 2, a)                 # -> (Y, Z)
+            elif self.scheme in ("multistep2", "sumlocal2"):
+                specs["uz"] = MLPSpec(2, h, 2, a)
+                specs["gam"] = MLPSpec(3, h, 1, a)                # (t, X, e^J)
+            else:  # regressions
+                specs["uz"] = MLPSpec(2, h, 1, a)                 # -> Y
+        else:
+            if self.scheme == "global":
+                # Pure-jump global: ONLY the Γ-net exists/trains and it carries
+                # Y0 (SolversPureJump.py:27,48; mainVG.py:95).
+                specs["gam"] = MLPSpec(3, h, 1, a, with_y0=True)  # (t, X, X·J)
+            elif self.scheme in ("multistep1", "sumlocal1", "sumlocal_reg",
+                                 "multistep_reg"):
+                specs["uz"] = MLPSpec(2, h, 1, a)                 # -> Y
+            else:  # multistep2 / sumlocal2
+                specs["uz"] = MLPSpec(2, h, 1, a)
+                specs["gam"] = MLPSpec(3, h, 1, a)                # (t, X, X·J)
+        return specs
+
+    def init_params(self, key: jax.Array) -> Params:
+        specs = self.net_specs()
+        keys = jax.random.split(key, len(specs))
+        return {name: init_mlp(k, spec) for (name, spec), k in zip(specs.items(), keys)}
+
+    # ------------------------------------------------------------- head evals
+    def _apply(self, p, cols) -> jax.Array:
+        return mlp_apply(p, cols, self._act)
+
+    def _uz(self, params, i, x):
+        """U/Z head on [t=i, X] (SolversJumpDiff.py:36)."""
+        t = jnp.broadcast_to(jnp.asarray(i, x.dtype), x.shape)
+        return self._apply(params["uz"], jnp.stack([t, x], -1))
+
+    def _gamma_inputs(self, i, x, j):
+        """Γ-head inputs for a 2-net scheme: (t, X, J-feature) where the
+        J-feature is raw J for jump-diff global (SolversJumpDiff.py:37), e^J for
+        multistep2/sumlocal2 (:173), X·J for all pure-jump 2-net schemes
+        (SolversPureJump.py:34)."""
+        t = jnp.broadcast_to(jnp.asarray(i, x.dtype), jnp.broadcast_shapes(x.shape, j.shape))
+        xb = jnp.broadcast_to(x, t.shape)
+        if not self.jump_diff:
+            feat = xb * jnp.broadcast_to(j, t.shape)
+        elif self.scheme == "global":
+            feat = jnp.broadcast_to(j, t.shape)
+        else:
+            feat = jnp.broadcast_to(jnp.exp(j), t.shape)
+        return jnp.stack([t, xb, feat], -1)
+
+    def _unet_jump_inputs(self, i, x, j):
+        """Γ-via-U inputs for 1-net schemes: (t, X·e^J) jump-diff
+        (SolversJumpDiff.py:99) / (t, X + X·J) pure-jump (SolversPureJump.py:95)."""
+        shape = jnp.broadcast_shapes(x.shape, j.shape)
+        t = jnp.broadcast_to(jnp.asarray(i, x.dtype), shape)
+        xb = jnp.broadcast_to(x, shape)
+        jb = jnp.broadcast_to(j, shape)
+        arg = xb * jnp.exp(jb) if self.jump_diff else xb + xb * jb
+        return jnp.stack([t, arg], -1)
+
+    def _gamma_and_compensator(self, params, i, x, j, key_mc):
+        """Γ(t, X, J) for the realized jump plus its compensator E_J'[Γ].
+
+        The compensator sweep uses either ``n_mc`` fresh draws shared across the
+        batch (reference semantics, SolversJumpDiff.py:34,38-39) or the static
+        quadrature nodes.  Returns (gamma, compensator), both (B,)."""
+        use_gam_net = "gam" in params and (self.scheme != "multistep1"
+                                           and self.scheme != "sumlocal1")
+        if self.compensator.kind == "mc":
+            nodes = self.model.sample_jumps(key_mc, (self.compensator.n_mc,))
+            weights = None
+        else:
+            nodes, weights = self._quad
+        nodes_b = nodes[:, None]  # (M, 1) vs batch (B,)
+        if use_gam_net:
+            gam = self._apply(params["gam"], self._gamma_inputs(i, x, j))[..., 0]
+            sweep = self._apply(params["gam"], self._gamma_inputs(i, x[None, :], nodes_b))[..., 0]
+        else:
+            gam = self._apply(params["uz"], self._unet_jump_inputs(i, x, j))[..., 0]
+            sweep = self._apply(params["uz"], self._unet_jump_inputs(i, x[None, :], nodes_b))[..., 0]
+        return gam, compensated_mean(sweep, weights)
+
+    # ---------------------------------------------------------------- rollout
+    def _draws(self, key, i, batch):
+        """Per-step noise: dW (jump-diff only), realized jumps, MC subkey."""
+        key_i = jax.random.fold_in(key, i)
+        kd, kj, km = jax.random.split(key_i, 3)
+        dt = self.model.dt
+        dw = (np.sqrt(dt) * jax.random.normal(kd, (batch,), jnp.float32)
+              if self.jump_diff else None)
+        j = self.model.sample_jumps(kj, (batch,))
+        return dw, j, km
+
+    def _fstep(self, i, x, dw, j, y):
+        """Forward SDE step, dispatching on regime (pure-jump drops dW:
+        pricingModels.py:184-185 vs :53-54)."""
+        if self.jump_diff:
+            return self.model.step(i, x, dw, j, y)
+        return self.model.step(i, x, j, y)
+
+    def _maybe_remat(self, body):
+        """Rematerialize the scan step for backprop.
+
+        Without this, XLA must keep the [M, B, hidden] compensator-sweep
+        activations of EVERY timestep alive for the backward pass — at the
+        reference's M=5000 that is O(N·M·B·H) HBM (tens of GB at production
+        batch sizes; observed 4x6.9 GB OOM at N=30, B=512).  ``jax.checkpoint``
+        trades ~1 extra forward recompute for O(carry) memory per step."""
+        return jax.checkpoint(body) if self.remat else body
+
+    def build_loss(self, batch: int) -> Callable[[Params, jax.Array], jax.Array]:
+        """Return the pure loss closure for a static batch size."""
+        builder = getattr(self, f"_loss_{self.scheme}")
+        return builder(batch)
+
+    # --- global -------------------------------------------------------------
+    def _loss_global(self, batch):
+        model, N, dt = self.model, self.model.N, self.model.dt
+
+        def loss(params, key):
+            x = model.init_x(batch)
+            y0 = params["uz" if self.jump_diff else "gam"]["y0"]
+            y = y0 * jnp.ones((batch,), jnp.float32)
+
+            def body(carry, i):
+                x, y = carry
+                dw, j, km = self._draws(key, i, batch)
+                gam, comp = self._gamma_and_compensator(params, i, x, j, km)
+                y = y - dt * model.f(y) + gam - comp
+                if self.jump_diff:
+                    z = self._uz(params, i, x)[..., 0]
+                    y = y + z * dw
+                x = self._fstep(i, x, dw, j, y)
+                return (x, y), None
+
+            (x, y), _ = jax.lax.scan(self._maybe_remat(body), (x, y), jnp.arange(N))
+            return jnp.mean(jnp.square(y - model.payoff(x)))
+
+        return loss
+
+    # --- multistep (1, 2, and the Y-only regression) --------------------------
+    def _multistep_core(self, batch, with_heads: bool):
+        model, N, dt = self.model, self.model.N, self.model.dt
+
+        def loss(params, key):
+            x = model.init_x(batch)
+
+            def body(x, i):
+                dw, j, km = self._draws(key, i, batch)
+                out = self._uz(params, i, x)
+                y = out[..., 0]
+                to_add = -dt * model.f(y)
+                if with_heads:
+                    gam, comp = self._gamma_and_compensator(params, i, x, j, km)
+                    to_add = to_add + gam - comp
+                    if self.jump_diff:
+                        to_add = to_add + out[..., 1] * dw
+                x = self._fstep(i, x, dw, j, y)
+                return x, (y, to_add)
+
+            x, (ys, adds) = jax.lax.scan(self._maybe_remat(body), x, jnp.arange(N))
+            y_final = model.payoff(x)
+            fwd = ys + _suffix_sum(adds)           # (N, B)
+            return jnp.sum(jnp.mean(jnp.square(fwd - y_final[None, :]), axis=-1))
+
+        return loss
+
+    def _loss_multistep1(self, batch):
+        return self._multistep_core(batch, with_heads=True)
+
+    def _loss_multistep2(self, batch):
+        return self._multistep_core(batch, with_heads=True)
+
+    def _loss_multistep_reg(self, batch):
+        return self._multistep_core(batch, with_heads=False)
+
+    # --- sumlocal (1, 2, and the Y-only regression) ----------------------------
+    def _sumlocal_core(self, batch, with_heads: bool):
+        model, N, dt = self.model, self.model.N, self.model.dt
+
+        def heads(params, i, x, j, km):
+            out = self._uz(params, i, x)
+            y = out[..., 0]
+            z = out[..., 1] if (with_heads and self.jump_diff) else jnp.zeros_like(y)
+            if with_heads:
+                gam, comp = self._gamma_and_compensator(params, i, x, j, km)
+            else:
+                gam = comp = jnp.zeros_like(y)
+            return y, z, gam, comp
+
+        def loss(params, key):
+            x = model.init_x(batch)
+            # Pre-loop draws and heads (SolversJumpDiff.py:239-247).
+            key0 = jax.random.fold_in(key, N)  # distinct from in-loop folds
+            kj0, km0 = jax.random.split(key0)
+            j = self.model.sample_jumps(kj0, (batch,))
+            y_prev, z_prev, gam_prev, comp_prev = heads(params, 0, x, j, km0)
+
+            def body(carry, i):
+                x, j, y_prev, z_prev, gam_prev, comp_prev = carry
+                dw, j_next, km = self._draws(key, i, batch)
+                to_add = dt * model.f(y_prev) - gam_prev + comp_prev
+                if with_heads and self.jump_diff:
+                    to_add = to_add - z_prev * dw
+                x = self._fstep(i, x, dw, j, y_prev)
+                # NOTE reference idiosyncrasy: the heads at state X_{i+1} use
+                # time feature i, not i+1 (SolversJumpDiff.py:264-266).
+                y_net, z_n, gam_n, comp_n = heads(params, i, x, j_next, km)
+                is_last = i == N - 1
+                y_next = jnp.where(is_last, model.payoff(x), y_net)
+                err = jnp.mean(jnp.square(y_next - y_prev + to_add))
+                return (x, j_next, y_next, z_n, gam_n, comp_n), err
+
+            carry = (x, j, y_prev, z_prev, gam_prev, comp_prev)
+            _, errs = jax.lax.scan(self._maybe_remat(body), carry, jnp.arange(N))
+            return jnp.sum(errs)
+
+        return loss
+
+    def _loss_sumlocal1(self, batch):
+        return self._sumlocal_core(batch, with_heads=True)
+
+    def _loss_sumlocal2(self, batch):
+        return self._sumlocal_core(batch, with_heads=True)
+
+    def _loss_sumlocal_reg(self, batch):
+        # Regression: toAdd = ±dt·f(YPrev); the jump-diff and pure-jump
+        # references differ only by an overall sign inside the square
+        # (SolversJumpDiff.py:400,413 vs SolversPureJump.py:370,380).
+        return self._sumlocal_core(batch, with_heads=False)
+
+    # ------------------------------------------------------------- evaluation
+    def y0_estimate(self, params: Params) -> jax.Array:
+        """Current Y0: the trainable scalar for global (SolversJumpDiff.py:69),
+        else U(0, x0) — the reference's mean over 10^5 *identical* inputs
+        X=init(1e5)=x0 (SolversJumpDiff.py:140-141) equals the single eval."""
+        if self.scheme == "global":
+            return params["uz" if self.jump_diff else "gam"]["y0"]
+        x = self.model.init_x(1)
+        return self._uz(params, 0, x)[0, 0]
+
+    def simulate_paths(self, params: Params, key: jax.Array, batch: int):
+        """Forward-simulate (X, Y) trajectories under the trained policy;
+        returns arrays of shape (N+1, B).  Global scheme only (explicit Y)."""
+        model, N, dt = self.model, self.model.N, self.model.dt
+        x = model.init_x(batch)
+        y = (params["uz" if self.jump_diff else "gam"]["y0"]
+             * jnp.ones((batch,), jnp.float32))
+
+        def body(carry, i):
+            x, y = carry
+            dw, j, km = self._draws(key, i, batch)
+            gam, comp = self._gamma_and_compensator(params, i, x, j, km)
+            y_n = y - dt * model.f(y) + gam - comp
+            if self.jump_diff:
+                z = self._uz(params, i, x)[..., 0]
+                y_n = y_n + z * dw
+            x_n = self._fstep(i, x, dw, j, y_n)
+            return (x_n, y_n), (x, y)
+
+        (x, y), (xs, ys) = jax.lax.scan(body, (x, y), jnp.arange(N))
+        xs = jnp.concatenate([xs, x[None]], 0)
+        ys = jnp.concatenate([ys, y[None]], 0)
+        return xs, ys

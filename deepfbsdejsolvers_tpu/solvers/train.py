@@ -1,0 +1,109 @@
+"""Training loop: Adam + device-side inner-epoch scan.
+
+The reference trains with a fresh ``keras.optimizers.Adam`` per solver and a
+host-side double loop — ``num_epochExt`` outer epochs x ``num_epoch`` inner
+gradient steps — printing loss / cumulative seconds / current Y0 each outer
+epoch (SolversJumpDiff.py:55-73).
+
+TPU-native rebuild: one jitted function runs ALL ``num_epoch`` inner steps as a
+``lax.scan`` over Adam updates, so the host syncs exactly once per outer epoch
+(the single biggest wall-clock lever after batch vectorization).  Adam uses
+eps=1e-7 to match Keras' default.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+@dataclasses.dataclass
+class TrainResult:
+    """Mirror of the reference's train() outputs (SolversJumpDiff.py:73 returns
+    (listY0, duration); SolversPureJump.py:72 returns (listY0, durationList))."""
+
+    params: Any
+    y0_history: List[float]
+    loss_history: List[float]
+    duration: float
+    duration_history: List[float]
+
+    # tuple-compat with the reference's return convention
+    def __iter__(self):
+        return iter((self.y0_history, self.duration))
+
+
+def make_adam(lrate: float) -> optax.GradientTransformation:
+    return optax.adam(learning_rate=lrate, eps=1e-7)
+
+
+def make_epoch_fn(loss_fn: Callable, optimizer: optax.GradientTransformation,
+                  num_inner: int) -> Callable:
+    """Jitted: (params, opt_state, key) -> (params, opt_state, mean_loss).
+
+    Runs ``num_inner`` gradient steps on device; per-step keys are split from
+    the epoch key.  Buffers are donated so params update in place.
+    """
+
+    def update(carry, key):
+        params, opt_state = carry
+        loss, grads = jax.value_and_grad(loss_fn)(params, key)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), loss
+
+    @jax.jit
+    def epoch(params, opt_state, key):
+        keys = jax.random.split(key, num_inner)
+        (params, opt_state), losses = jax.lax.scan(update, (params, opt_state), keys)
+        return params, opt_state, losses[-1]
+
+    return epoch
+
+
+def fit(
+    loss_fn: Callable,
+    params,
+    key: jax.Array,
+    lrate: float,
+    num_epoch: int,
+    num_epoch_ext: int,
+    val_loss_fn: Optional[Callable] = None,
+    y0_fn: Optional[Callable] = None,
+    verbose: bool = True,
+) -> TrainResult:
+    """Train ``params`` for num_epoch_ext outer epochs of num_epoch Adam steps.
+
+    ``val_loss_fn(params, key)`` is evaluated once per outer epoch on the
+    validation batch (the reference's optimizeBSDE(batchSizeVal),
+    SolversJumpDiff.py:68); ``y0_fn(params)`` extracts the current Y0 estimate.
+    """
+    optimizer = make_adam(lrate)
+    opt_state = optimizer.init(params)
+    epoch_fn = make_epoch_fn(loss_fn, optimizer, num_epoch)
+    val_fn = jax.jit(val_loss_fn) if val_loss_fn is not None else None
+
+    y0_hist: List[float] = []
+    loss_hist: List[float] = []
+    dur_hist: List[float] = []
+    duration = 0.0
+    for iout in range(num_epoch_ext):
+        key, k_epoch, k_val = jax.random.split(key, 3)
+        t0 = time.perf_counter()
+        params, opt_state, last_loss = epoch_fn(params, opt_state, k_epoch)
+        jax.block_until_ready(last_loss)
+        duration += time.perf_counter() - t0
+        obj = float(val_fn(params, k_val)) if val_fn is not None else float(last_loss)
+        y0 = float(y0_fn(params)) if y0_fn is not None else float("nan")
+        if verbose:
+            print(f" Error {obj:.6g}  elapsed time {duration:5.3f} s  "
+                  f"Y0 sofar {y0:.6f}  epoch {iout}")
+        y0_hist.append(y0)
+        loss_hist.append(obj)
+        dur_hist.append(duration)
+    return TrainResult(params, y0_hist, loss_hist, duration, dur_hist)

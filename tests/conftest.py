@@ -1,0 +1,25 @@
+"""Test harness: force an 8-device virtual CPU mesh.
+
+The TPU-world substitute for a fake distributed backend (SURVEY.md §4): XLA's
+``--xla_force_host_platform_device_count`` fakes 8 CPU devices so the
+shard_map/psum data-parallel path is exercised without hardware.  The 'axon'
+TPU plugin in this image overrides JAX_PLATFORMS, so the platform is forced
+via jax.config before any jax computation runs.
+"""
+
+import os
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng_key():
+    return jax.random.key(42)
