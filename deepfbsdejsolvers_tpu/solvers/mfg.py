@@ -1,0 +1,406 @@
+"""MFG smart-grid solver suite — 5 schemes x couplage ON/OFF.
+
+Rebuilds coupledMFG/MFGSolvers.py as one parametrized ``lax.scan`` family.
+Two BSDEs are trained jointly on the coupled forward system:
+
+* the *projected* one  dĥY = -f(ĥS) dt + ĥZ0 dW0 + ĥΓ (dN - λdt)   (hat net,
+  inputs (t, hQ, hS, R) — MFGSolvers.py:40)
+* the *full* one       dY  = -f(S) dt + Z0 dW0 + Γ (dN - λdt) + Z dW  (full
+  net, inputs (t, Q, S, hQ, hS, R) — :41)
+
+The Cox compensator λ·dt is analytic (MFGModel.py:54) — no MC sweep here.
+``couplage='ON'`` trains both nets on the summed loss in one optimizer;
+``'OFF'`` trains the hat net first, then the full net with the hat frozen
+(MFGSolvers.py:79-115).  The hat loss depends only on hat params (hS evolves
+through α̂(hY) alone), so the OFF schedule is well-posed.
+
+Schemes (output dims per mainMFGComparison.py:119-124):
+
+  scheme         reference class                    hat/full head outputs
+  -------------  ---------------------------------  --------------------------
+  global         SolverGlobalFBSDE:17        (ĥZ0,ĥΓ)+Y0_hat / (Z0,Γ,Z)+Y0
+  multistep      SolverMultiStepFBSDE:180    (ĥY,ĥZ0,ĥΓ) / (Y,Z0,Γ,Z)
+  sumlocal       SolverSumLocalFBSDE:321     (ĥY,ĥZ0,ĥΓ) / (Y,Z0,Γ,Z)
+  sumlocal_reg   SolverGlobalSumLocalReg:463 (ĥY) / (Y)
+  multistep_reg  SolverGlobalMultiStepReg:608 (ĥY) / (Y)
+
+Reference defect fixed, not replicated: in couplage='OFF' the reference
+reports Y0 by calling the *hat* net on the *full* state (MFGSolvers.py:291,431)
+— here the pairing is corrected (hat net on projected state, full net on full
+state).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deepfbsdejsolvers_tpu.models.mfg_smart_grid import MFGState, SmartGridMFGModel
+from deepfbsdejsolvers_tpu.nets.mlp import MLPSpec, get_activation, init_mlp, mlp_apply
+from deepfbsdejsolvers_tpu.solvers.train import TrainResult, fit
+
+MFG_SCHEMES = ("global", "multistep", "sumlocal", "sumlocal_reg", "multistep_reg")
+
+
+def _suffix_sum(x: jax.Array) -> jax.Array:
+    return jnp.cumsum(x[::-1], axis=0)[::-1]
+
+
+@dataclasses.dataclass(frozen=True)
+class MFGSolver:
+    """Builds pure losses over params = {'hat': ..., 'full': ...}."""
+
+    model: SmartGridMFGModel
+    scheme: str
+    hidden_hat: Tuple[int, ...] = (20, 20)
+    hidden: Tuple[int, ...] = (22, 22)
+    activation_hat: str = "tanh"
+    activation: str = "tanh"
+    remat: bool = True
+
+    def __post_init__(self):
+        if self.scheme not in MFG_SCHEMES:
+            raise ValueError(f"scheme must be one of {MFG_SCHEMES}, got {self.scheme!r}")
+        object.__setattr__(self, "_act_hat", get_activation(self.activation_hat))
+        object.__setattr__(self, "_act", get_activation(self.activation))
+
+    # ---------------------------------------------------------------- nets
+    def head_dims(self) -> Tuple[int, int]:
+        if self.scheme == "global":
+            return 2, 3
+        if self.scheme in ("multistep", "sumlocal"):
+            return 3, 4
+        return 1, 1
+
+    def net_specs(self) -> Dict[str, MLPSpec]:
+        d_hat, d_full = self.head_dims()
+        with_y0 = self.scheme == "global"  # coupledMFG/Networks.py:13-15,30-32
+        return {
+            "hat": MLPSpec(4, self.hidden_hat, d_hat, self.activation_hat,
+                           with_y0=with_y0),
+            "full": MLPSpec(6, self.hidden, d_full, self.activation,
+                            with_y0=with_y0),
+        }
+
+    def init_params(self, key: jax.Array) -> Dict[str, dict]:
+        k1, k2 = jax.random.split(key)
+        specs = self.net_specs()
+        return {"hat": init_mlp(k1, specs["hat"]), "full": init_mlp(k2, specs["full"])}
+
+    def _hat(self, params, state: MFGState) -> jax.Array:
+        return mlp_apply(params["hat"], self.model.projected_features(state),
+                         self._act_hat)
+
+    def _full(self, params, state: MFGState) -> jax.Array:
+        return mlp_apply(params["full"], self.model.all_features(state), self._act)
+
+    # ---------------------------------------------------------------- noise
+    def _draws(self, key, i, batch, state):
+        key_i = jax.random.fold_in(key, i)
+        k0, k1, kn = jax.random.split(key_i, 3)
+        sdt = np.sqrt(self.model.dt)
+        dw0 = sdt * jax.random.normal(k0, (batch,), jnp.float32)
+        dw = sdt * jax.random.normal(k1, (batch,), jnp.float32)
+        dn, compens = self.model.sample_dN(kn, state)
+        return dw0, dw, dn, compens
+
+    def _maybe_remat(self, body):
+        return jax.checkpoint(body) if self.remat else body
+
+    # ------------------------------------------------------------- rollouts
+    def build_pair_loss(self, batch: int) -> Callable:
+        """Returns loss(params, key) -> (loss_hat, loss_full)."""
+        builder = getattr(self, f"_loss_{self.scheme}")
+        return builder(batch)
+
+    def build_losses(self, batch: int) -> Dict[str, Callable]:
+        """'hat' / 'full' / 'coupled' scalar losses (MFGSolvers.py:45-47)."""
+        pair = self.build_pair_loss(batch)
+        return {
+            "hat": lambda p, k: pair(p, k)[0],
+            "full": lambda p, k: pair(p, k)[1],
+            "coupled": lambda p, k: sum(pair(p, k)),
+        }
+
+    def _loss_global(self, batch):
+        model, N, dt = self.model, self.model.N, self.model.dt
+
+        def pair(params, key):
+            state = model.init_state(batch)
+            ones = jnp.ones((batch,), jnp.float32)
+            h_y = params["hat"]["y0"] * ones
+            y = params["full"]["y0"] * ones
+
+            def body(carry, i):
+                state, h_y, y = carry
+                h_out = self._hat(params, state)
+                f_out = self._full(params, state)
+                hz0, hgam = h_out[..., 0], h_out[..., 1]
+                z0, gam, z = f_out[..., 0], f_out[..., 1], f_out[..., 2]
+                dw0, dw, dn, compens = self._draws(key, i, batch, state)
+                dpi = dn - compens
+                h_y_next = h_y - dt * model.f(state.hS) + hz0 * dw0 + hgam * dpi
+                y_next = (y - dt * model.f(state.S) + z0 * dw0 + gam * dpi
+                          + z * dw)
+                state = model.step(state, dw0, dw, dn, h_y, y)
+                return (state, h_y_next, y_next), None
+
+            (state, h_y, y), _ = jax.lax.scan(
+                self._maybe_remat(body), (state, h_y, y), jnp.arange(N))
+            loss_hat = jnp.mean(jnp.square(h_y - model.g(state.hS)))
+            loss_full = jnp.mean(jnp.square(y - model.g(state.S)))
+            return loss_hat, loss_full
+
+        return pair
+
+    def _multistep_pair(self, batch, with_heads: bool):
+        model, N, dt = self.model, self.model.N, self.model.dt
+
+        def pair(params, key):
+            state = model.init_state(batch)
+
+            def body(state, i):
+                h_out = self._hat(params, state)
+                f_out = self._full(params, state)
+                h_y, y = h_out[..., 0], f_out[..., 0]
+                dw0, dw, dn, compens = self._draws(key, i, batch, state)
+                to_add_hat = -dt * model.f(state.hS)
+                to_add = -dt * model.f(state.S)
+                if with_heads:
+                    dpi = dn - compens
+                    to_add_hat = to_add_hat + h_out[..., 1] * dw0 + h_out[..., 2] * dpi
+                    to_add = (to_add + f_out[..., 1] * dw0 + f_out[..., 2] * dpi
+                              + f_out[..., 3] * dw)
+                state = model.step(state, dw0, dw, dn, h_y, y)
+                return state, (h_y, y, to_add_hat, to_add)
+
+            state, (h_ys, ys, adds_hat, adds) = jax.lax.scan(
+                self._maybe_remat(body), state, jnp.arange(N))
+            yf_hat = model.g(state.hS)
+            yf = model.g(state.S)
+            fwd_hat = h_ys + _suffix_sum(adds_hat)
+            fwd = ys + _suffix_sum(adds)
+            loss_hat = jnp.sum(jnp.mean(jnp.square(fwd_hat - yf_hat[None]), -1))
+            loss_full = jnp.sum(jnp.mean(jnp.square(fwd - yf[None]), -1))
+            return loss_hat, loss_full
+
+        return pair
+
+    def _loss_multistep(self, batch):
+        return self._multistep_pair(batch, with_heads=True)
+
+    def _loss_multistep_reg(self, batch):
+        return self._multistep_pair(batch, with_heads=False)
+
+    def _loss_sumlocal(self, batch):
+        return self._sumlocal_core(batch, with_heads=True)
+
+    def _loss_sumlocal_reg(self, batch):
+        return self._sumlocal_core(batch, with_heads=False)
+
+    def _sumlocal_core(self, batch, with_heads: bool):
+        model, N, dt = self.model, self.model.N, self.model.dt
+
+        def pair(params, key):
+            state = model.init_state(batch)
+            h_out = self._hat(params, state)
+            f_out = self._full(params, state)
+
+            def body(carry, i):
+                state, h_out, f_out = carry
+                h_y_prev, y_prev = h_out[..., 0], f_out[..., 0]
+                dw0, dw, dn, compens = self._draws(key, i, batch, state)
+                to_add_hat = dt * model.f(state.hS)
+                to_add = dt * model.f(state.S)
+                if with_heads:
+                    dpi = dn - compens
+                    to_add_hat = to_add_hat - h_out[..., 1] * dw0 - h_out[..., 2] * dpi
+                    to_add = (to_add - f_out[..., 1] * dw0 - f_out[..., 2] * dpi
+                              - f_out[..., 3] * dw)
+                state = model.step(state, dw0, dw, dn, h_y_prev, y_prev)
+                h_out_n = self._hat(params, state)
+                f_out_n = self._full(params, state)
+                is_last = i == N - 1
+                h_y_next = jnp.where(is_last, model.g(state.hS), h_out_n[..., 0])
+                y_next = jnp.where(is_last, model.g(state.S), f_out_n[..., 0])
+                err_hat = jnp.mean(jnp.square(h_y_next - h_y_prev + to_add_hat))
+                err = jnp.mean(jnp.square(y_next - y_prev + to_add))
+                h_out_n = h_out_n.at[..., 0].set(h_y_next)
+                f_out_n = f_out_n.at[..., 0].set(y_next)
+                return (state, h_out_n, f_out_n), (err_hat, err)
+
+            _, (errs_hat, errs) = jax.lax.scan(
+                self._maybe_remat(body), (state, h_out, f_out), jnp.arange(N))
+            return jnp.sum(errs_hat), jnp.sum(errs)
+
+        return pair
+
+    # ------------------------------------------------------------- training
+    def y0_estimates(self, params) -> Tuple[jax.Array, jax.Array]:
+        """(Y0_hat, Y0): trainable scalars for global (MFGSolvers.py:88), else
+        head values at the initial state (:264-265)."""
+        if self.scheme == "global":
+            return params["hat"]["y0"], params["full"]["y0"]
+        state = self.model.init_state(1)
+        return self._hat(params, state)[0, 0], self._full(params, state)[0, 0]
+
+    def train(self, key: jax.Array, batch: int, batch_val: int, num_epoch: int,
+              num_epoch_ext: int, lrate: float, couplage: str = "ON",
+              verbose: bool = True):
+        """Mirror of MFGSolvers .train(): returns (listY0_hat, listY0) plus the
+        trained params (reference keeps them implicitly in the Keras objects)."""
+        key, k_init = jax.random.split(key)
+        params = self.init_params(k_init)
+        pair_train = self.build_pair_loss(batch)
+        pair_val = self.build_pair_loss(batch_val)
+
+        hist_hat: list = []
+        hist_full: list = []
+        if couplage == "ON":
+            res = fit(
+                loss_fn=lambda p, k: sum(pair_train(p, k)),
+                params=params, key=key, lrate=lrate, num_epoch=num_epoch,
+                num_epoch_ext=num_epoch_ext,
+                val_loss_fn=lambda p, k: sum(pair_val(p, k)),
+                y0_fn=self.y0_estimates, verbose=verbose,
+            )
+            params = res.params
+            hist_hat = [y[0] for y in res.y0_history]
+            hist_full = [y[1] for y in res.y0_history]
+            loss_hist = res.loss_history
+        else:
+            # Phase 1: hat net alone on the hat loss (MFGSolvers.py:93-103).
+            full_frozen = params["full"]
+
+            def loss_hat_only(p_hat, k):
+                return pair_train({"hat": p_hat, "full": full_frozen}, k)[0]
+
+            res1 = fit(loss_fn=loss_hat_only, params=params["hat"], key=key,
+                       lrate=lrate, num_epoch=num_epoch,
+                       num_epoch_ext=num_epoch_ext,
+                       val_loss_fn=lambda p, k: pair_val(
+                           {"hat": p, "full": full_frozen}, k)[0],
+                       y0_fn=lambda p: self.y0_estimates(
+                           {"hat": p, "full": full_frozen})[0],
+                       verbose=verbose)
+            params = {"hat": res1.params, "full": params["full"]}
+            hat_frozen = params["hat"]
+
+            # Phase 2: full net with hat frozen (MFGSolvers.py:105-115).
+            def loss_full_only(p_full, k):
+                return pair_train({"hat": hat_frozen, "full": p_full}, k)[1]
+
+            key2 = jax.random.fold_in(key, 1)
+            res2 = fit(loss_fn=loss_full_only, params=params["full"], key=key2,
+                       lrate=lrate, num_epoch=num_epoch,
+                       num_epoch_ext=num_epoch_ext,
+                       val_loss_fn=lambda p, k: pair_val(
+                           {"hat": hat_frozen, "full": p}, k)[1],
+                       y0_fn=lambda p: self.y0_estimates(
+                           {"hat": hat_frozen, "full": p})[1],
+                       verbose=verbose)
+            params = {"hat": hat_frozen, "full": res2.params}
+            hist_hat = res1.y0_history
+            hist_full = res2.y0_history
+            loss_hist = res1.loss_history + res2.loss_history
+
+        return MFGTrainResult(params=params, y0_hat_history=hist_hat,
+                              y0_history=hist_full, loss_history=loss_hist)
+
+    # ------------------------------------------------------------ evaluators
+    def simulate_global_err(self, params, key: jax.Array, batch: int):
+        """Expected running+terminal cost of both BSDEs plus terminal mismatch
+        (MFGSolvers.py:118-146; head-feedback variant :296-318 for non-global
+        schemes).  Returns (cost_hat, cost, err)."""
+        model, N, dt = self.model, self.model.N, self.model.dt
+        state = model.init_state(batch)
+        is_global = self.scheme == "global"
+        ones = jnp.ones((batch,), jnp.float32)
+        if is_global:
+            h_y = params["hat"]["y0"] * ones
+            y = params["full"]["y0"] * ones
+        else:
+            h_y = self._hat(params, state)[..., 0]
+            y = self._full(params, state)[..., 0]
+
+        def body(carry, i):
+            state, h_y, y, cost_hat, cost = carry
+            cost_hat = cost_hat + dt * model.f(state.hS)
+            cost = cost + dt * model.f(state.S)
+            dw0, dw, dn, compens = self._draws(key, i, batch, state)
+            if is_global:
+                h_out = self._hat(params, state)
+                f_out = self._full(params, state)
+                dpi = dn - compens
+                h_y_next = (h_y - dt * model.f(state.hS)
+                            + h_out[..., 0] * dw0 + h_out[..., 1] * dpi)
+                y_next = (y - dt * model.f(state.S) + f_out[..., 0] * dw0
+                          + f_out[..., 1] * dpi + f_out[..., 2] * dw)
+            state = model.step(state, dw0, dw, dn, h_y, y)
+            if not is_global:
+                h_y_next = self._hat(params, state)[..., 0]
+                y_next = self._full(params, state)[..., 0]
+            return (state, h_y_next, y_next, cost_hat, cost), None
+
+        zeros = jnp.zeros((batch,), jnp.float32)
+        (state, h_y, y, cost_hat, cost), _ = jax.lax.scan(
+            body, (state, h_y, y, zeros, zeros), jnp.arange(N))
+        cost_hat = cost_hat + model.g(state.hS)
+        cost = cost + model.g(state.S)
+        err = (jnp.mean(jnp.square(h_y - model.g(state.hS)))
+               + jnp.mean(jnp.square(y - model.g(state.S))))
+        return jnp.mean(cost_hat), jnp.mean(cost), err
+
+    def follow_s(self, params, key: jax.Array, batch: int):
+        """Mean/std trajectories of hS and S under the trained policy
+        (MFGSolvers.py:148-178).  Returns 4 arrays of shape (N+1,)."""
+        model, N, dt = self.model, self.model.N, self.model.dt
+        state = model.init_state(batch)
+        ones = jnp.ones((batch,), jnp.float32)
+        if self.scheme == "global":
+            h_y = params["hat"]["y0"] * ones
+            y = params["full"]["y0"] * ones
+        else:
+            h_y = self._hat(params, state)[..., 0]
+            y = self._full(params, state)[..., 0]
+
+        def body(carry, i):
+            state, h_y, y = carry
+            stats = (jnp.mean(state.hS), jnp.std(state.hS),
+                     jnp.mean(state.S), jnp.std(state.S))
+            dw0, dw, dn, compens = self._draws(key, i, batch, state)
+            if self.scheme == "global":
+                h_out = self._hat(params, state)
+                f_out = self._full(params, state)
+                dpi = dn - compens
+                h_y_next = (h_y - dt * model.f(state.hS)
+                            + h_out[..., 0] * dw0 + h_out[..., 1] * dpi)
+                y_next = (y - dt * model.f(state.S) + f_out[..., 0] * dw0
+                          + f_out[..., 1] * dpi + f_out[..., 2] * dw)
+            state = model.step(state, dw0, dw, dn, h_y, y)
+            if self.scheme != "global":
+                h_y_next = self._hat(params, state)[..., 0]
+                y_next = self._full(params, state)[..., 0]
+            return (state, h_y_next, y_next), stats
+
+        (state, h_y, y), stats = jax.lax.scan(body, (state, h_y, y), jnp.arange(N))
+        last = (jnp.mean(state.hS), jnp.std(state.hS),
+                jnp.mean(state.S), jnp.std(state.S))
+        out = [jnp.concatenate([s, l[None]]) for s, l in zip(stats, last)]
+        return tuple(out)
+
+
+@dataclasses.dataclass
+class MFGTrainResult:
+    params: dict
+    y0_hat_history: list
+    y0_history: list
+    loss_history: list
+
+    def __iter__(self):
+        # reference returns (listY0_hat, listY0) — MFGSolvers.py:116
+        return iter((self.y0_hat_history, self.y0_history))

@@ -99,10 +99,13 @@ def fit(
         jax.block_until_ready(last_loss)
         duration += time.perf_counter() - t0
         obj = float(val_fn(params, k_val)) if val_fn is not None else float(last_loss)
-        y0 = float(y0_fn(params)) if y0_fn is not None else float("nan")
+        if y0_fn is not None:
+            y0 = jax.tree_util.tree_map(float, y0_fn(params))
+        else:
+            y0 = float("nan")
         if verbose:
             print(f" Error {obj:.6g}  elapsed time {duration:5.3f} s  "
-                  f"Y0 sofar {y0:.6f}  epoch {iout}")
+                  f"Y0 sofar {y0}  epoch {iout}")
         y0_hist.append(y0)
         loss_hist.append(obj)
         dur_hist.append(duration)

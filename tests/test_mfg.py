@@ -1,0 +1,178 @@
+"""MFG smart-grid model + solver + PoA pipeline tests (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepfbsdejsolvers_tpu.eval.mfg_solutions import (
+    FrozenNoise,
+    MFGFixedTrajectoryEvaluator,
+    draw_frozen_noise,
+    price_of_anarchy,
+)
+from deepfbsdejsolvers_tpu.models.mfg_smart_grid import (
+    daily_profile,
+    make_mfg_default,
+)
+from deepfbsdejsolvers_tpu.solvers.mfg import MFG_SCHEMES, MFGSolver
+
+
+def small_model(**kw):
+    return make_mfg_default(nb_days=1, **kw)
+
+
+# ---------------------------------------------------------------- model
+
+
+def test_profile_and_grid():
+    m = small_model()
+    assert m.N == 47  # len(48-pt profile) - 1 (MFGModel.py:18)
+    assert abs(m.dt - 1.0 / 47) < 1e-12
+    q2 = daily_profile(nb_days=2)
+    assert len(q2) == 96
+
+
+def test_mean_hq_table_matches_reference_formula():
+    """meanhQ(i) per MFGModel.py:67-68 (with the QAver global bug fixed)."""
+    m = small_model()
+    q = np.asarray(daily_profile(1), np.float64)
+    c, dt = 5.0, m.dt
+    for i in (1, 5, 20, 47):
+        jj = np.arange(i)
+        want = (np.exp(-c * i * dt) * q[0]
+                + c * np.sum(q[:i] * np.exp(c * (jj - i) * dt)) * dt)
+        got = float(m.mean_hq_table[i])
+        assert abs(got - want) < 1e-5
+    # mean reversion: meanhQ stays within the profile's range
+    tab = np.asarray(m.mean_hq_table)
+    assert tab.min() > q.min() - 0.05 and tab.max() < q.max() + 0.05
+
+
+def test_r_resets_on_jump(rng_key):
+    m = small_model()
+    state = m.init_state(4)
+    dn = jnp.asarray([0.0, 1.0, 0.0, 2.0])
+    zeros = jnp.zeros(4)
+    new = m.step(state, zeros, zeros, dn, zeros, zeros)
+    r0 = 2 * 0.12
+    np.testing.assert_allclose(
+        np.asarray(new.R),
+        [r0 + m.dt, m.dt, r0 + m.dt, m.dt],  # MFGModel.py:65
+        rtol=1e-6,
+    )
+
+
+def test_cox_vs_constant_intensity(rng_key):
+    m_cox = small_model(jump_model="stochastic")
+    m_const = small_model(jump_model="constant", jump_factor=2.16)
+    state = m_cox.init_state(8)
+    lam_cox = np.asarray(m_cox.intensity(state))
+    lam_const = np.asarray(m_const.intensity(state))
+    want = float(np.exp(-15.0) * (np.exp(30.0 * daily_profile(1)[0]) - 1.0))
+    np.testing.assert_allclose(lam_cox, want, rtol=1e-5)
+    np.testing.assert_allclose(lam_const, 2.16, rtol=1e-6)
+
+
+def test_coeff_equi_switches_pricing_internalization():
+    mfg = small_model(coeff_equi=1.0)
+    mfc = small_model(coeff_equi=2.0)
+    state = mfg.init_state(4)
+    hy = jnp.ones(4)
+    a1 = np.asarray(mfg.calpha_hat(state, hy))
+    a2 = np.asarray(mfc.calpha_hat(state, hy))
+    assert not np.allclose(a1, a2)
+
+
+# ---------------------------------------------------------------- solvers
+
+
+@pytest.mark.parametrize("scheme", MFG_SCHEMES)
+def test_mfg_losses_finite_with_grads(scheme, rng_key):
+    solver = MFGSolver(small_model(), scheme, hidden_hat=(8, 8), hidden=(8, 8))
+    params = solver.init_params(rng_key)
+    pair = solver.build_pair_loss(8)
+    lh, lf = jax.jit(pair)(params, rng_key)
+    assert np.isfinite(float(lh)) and np.isfinite(float(lf))
+    g = jax.grad(lambda p, k: sum(pair(p, k)))(params, rng_key)
+    gn = sum(float(jnp.sum(jnp.abs(x))) for x in jax.tree_util.tree_leaves(g))
+    assert gn > 0
+
+
+def test_hat_loss_independent_of_full_net(rng_key):
+    """The OFF schedule is well-posed: ∂(hat loss)/∂(full params) == 0, since
+    hS evolves through α̂(hY) only (MFGModel.py:62)."""
+    solver = MFGSolver(small_model(), "global", hidden_hat=(8, 8), hidden=(8, 8))
+    params = solver.init_params(rng_key)
+    pair = solver.build_pair_loss(8)
+    g = jax.grad(lambda p, k: pair(p, k)[0])(params, rng_key)
+    g_full = sum(float(jnp.sum(jnp.abs(x)))
+                 for x in jax.tree_util.tree_leaves(g["full"]))
+    g_hat = sum(float(jnp.sum(jnp.abs(x)))
+                for x in jax.tree_util.tree_leaves(g["hat"]))
+    assert g_full == 0.0
+    assert g_hat > 0.0
+
+
+@pytest.mark.parametrize("couplage", ["ON", "OFF"])
+def test_mfg_training_reduces_loss(couplage, rng_key):
+    solver = MFGSolver(small_model(), "global", hidden_hat=(8, 8), hidden=(8, 8))
+    res = solver.train(rng_key, batch=32, batch_val=128, num_epoch=15,
+                       num_epoch_ext=2, lrate=3e-3, couplage=couplage,
+                       verbose=False)
+    hist = res.loss_history
+    if couplage == "ON":
+        assert hist[-1] < hist[0]
+    else:
+        # OFF concatenates the hat phase then the full phase
+        # (MFGSolvers.py:93-115); each phase must improve on its own scale.
+        assert hist[1] < hist[0] and hist[3] < hist[2]
+    hat_hist, full_hist = tuple(res)
+    assert len(hat_hist) == 2 and len(full_hist) == 2
+
+
+# -------------------------------------------------------------- evaluators
+
+
+def test_frozen_replay_deterministic_and_shared_noise(rng_key):
+    model = small_model()
+    dw0, dws, dn = draw_frozen_noise(model, rng_key, 16)
+    noise1 = FrozenNoise(dW0=dw0, dW=dws[0], dN=dn)
+    solver = MFGSolver(model, "global", hidden_hat=(8, 8), hidden=(8, 8))
+    params = solver.init_params(rng_key)
+    e1 = MFGFixedTrajectoryEvaluator(solver, params, noise1)
+    e2 = MFGFixedTrajectoryEvaluator(solver, params, noise1)
+    t1 = e1.simulate_all_processes(8)
+    t2 = e2.simulate_all_processes(8)
+    for k in ("Q", "S", "hQ", "hS", "R", "lam", "alpha", "alpha_hat"):
+        np.testing.assert_array_equal(t1[k], t2[k])
+        assert t1[k].shape == (8, model.N + 1)
+    # different idiosyncratic noise => same hQ/hS (common-noise processes)
+    noise2 = FrozenNoise(dW0=dw0, dW=dws[1], dN=dn)
+    t3 = MFGFixedTrajectoryEvaluator(solver, params, noise2).simulate_all_processes(8)
+    np.testing.assert_allclose(t1["hQ"], t3["hQ"], atol=1e-6)
+    assert not np.allclose(t1["Q"], t3["Q"])
+
+
+def test_poa_identity_for_identical_models(rng_key):
+    model = small_model()
+    dw0, dws, dn = draw_frozen_noise(model, rng_key, 32)
+    noise = FrozenNoise(dW0=dw0, dW=dws[0], dN=dn)
+    solver = MFGSolver(model, "global", hidden_hat=(8, 8), hidden=(8, 8))
+    params = solver.init_params(rng_key)
+    e1 = MFGFixedTrajectoryEvaluator(solver, params, noise)
+    e2 = MFGFixedTrajectoryEvaluator(solver, params, noise)
+    res = price_of_anarchy(e1, e2, 16)
+    assert abs(res["poa"] - 1.0) < 1e-6
+
+
+def test_simulate_global_err_and_follow_s(rng_key):
+    model = small_model()
+    for scheme in ("global", "sumlocal"):
+        solver = MFGSolver(model, scheme, hidden_hat=(8, 8), hidden=(8, 8))
+        params = solver.init_params(rng_key)
+        ch, c, err = solver.simulate_global_err(params, rng_key, 16)
+        assert np.isfinite(float(ch)) and np.isfinite(float(c))
+        assert float(err) >= 0
+        curves = solver.follow_s(params, rng_key, 16)
+        assert all(cu.shape == (model.N + 1,) for cu in curves)
