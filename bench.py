@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Headline benchmark: Merton global deep-BSDE training throughput.
+
+Metric (BASELINE.json): paths*steps/sec/chip on Merton N=50, 2^17-path batch —
+one full training step = simulate 50 coupled Euler steps (3 MLP heads + the
+compensator sweep + the 30-term closed-form pricer in the drift, per step),
+backprop through the whole rollout, Adam update.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+``vs_baseline`` is the throughput ratio against the single-host CPU anchor
+recorded in bench_baseline.json (the TF-2.10 reference is CPU-only with no
+published numbers — BASELINE.md; the anchor is this same workload on CPU).
+
+Usage: python bench.py [--batch 131072] [--inner 10] [--rounds 3]
+                       [--compensator quadrature|mc] [--anchor]  # measure CPU anchor
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def build(batch: int, compensator: str):
+    import jax
+
+    from deepfbsdejsolvers_tpu.models.merton import make_merton_default
+    from deepfbsdejsolvers_tpu.ops.compensator import CompensatorSpec
+    from deepfbsdejsolvers_tpu.solvers.pricing import PricingSolver
+    from deepfbsdejsolvers_tpu.solvers.train import make_adam
+
+    model = make_merton_default()
+    solver = PricingSolver(
+        model, "global",
+        compensator=CompensatorSpec(kind=compensator),
+    )
+    params = solver.init_params(jax.random.key(0))
+    optimizer = make_adam(4e-4)
+    opt_state = optimizer.init(params)
+    loss_fn = solver.build_loss(batch)
+    return model, solver, params, optimizer, opt_state, loss_fn
+
+
+def measure(batch: int, inner: int, rounds: int, compensator: str) -> dict:
+    import jax
+
+    from deepfbsdejsolvers_tpu.solvers.train import make_epoch_fn
+
+    model, solver, params, optimizer, opt_state, loss_fn = build(batch, compensator)
+    epoch = make_epoch_fn(loss_fn, optimizer, inner)
+    key = jax.random.key(1)
+    # compile + warmup
+    params, opt_state, loss = epoch(params, opt_state, key)
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    for r in range(rounds):
+        params, opt_state, loss = epoch(params, opt_state,
+                                        jax.random.fold_in(key, r))
+    jax.block_until_ready(loss)
+    elapsed = time.perf_counter() - t0
+    n_steps = inner * rounds
+    paths_steps = batch * model.N * n_steps
+    return {
+        "paths_steps_per_sec": paths_steps / elapsed,
+        "train_steps_per_sec": n_steps / elapsed,
+        "elapsed_s": elapsed,
+        "final_loss": float(loss),
+        "device": str(jax.devices()[0]),
+    }
+
+
+ANCHOR_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_baseline.json")
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=2**17)
+    p.add_argument("--inner", type=int, default=10)
+    p.add_argument("--rounds", type=int, default=3)
+    p.add_argument("--compensator", choices=["quadrature", "mc"],
+                   default="quadrature")
+    p.add_argument("--anchor", action="store_true",
+                   help="measure the CPU anchor and write bench_baseline.json")
+    args = p.parse_args()
+
+    if args.anchor:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        res = measure(args.batch, args.inner, args.rounds, args.compensator)
+        payload = {
+            "anchor_paths_steps_per_sec": res["paths_steps_per_sec"],
+            "batch": args.batch,
+            "compensator": args.compensator,
+            "device": res["device"],
+        }
+        with open(ANCHOR_FILE, "w") as f:
+            json.dump(payload, f, indent=1)
+        print(json.dumps(payload), file=sys.stderr)
+        return
+
+    res = measure(args.batch, args.inner, args.rounds, args.compensator)
+    vs = None
+    if os.path.exists(ANCHOR_FILE):
+        with open(ANCHOR_FILE) as f:
+            anchor = json.load(f)
+        vs = res["paths_steps_per_sec"] / anchor["anchor_paths_steps_per_sec"]
+    print(json.dumps({
+        "metric": "merton_global_train_throughput",
+        "value": res["paths_steps_per_sec"],
+        "unit": "paths*steps/sec/chip (Merton N=50, batch 2^17)",
+        "vs_baseline": vs,
+    }))
+    print(f"# detail: {res}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -2,39 +2,43 @@
 
 The reference has no distributed execution of any kind (single-device TF;
 SURVEY.md §2 last rows mandate this as new capability).  The TPU-native
-parallelism for this workload is:
+parallelism for this workload:
 
-* **data parallelism** — shard the simulated *paths* (batch axis) over the
-  mesh's ``data`` axis; each chip simulates its shard with its own folded RNG
-  key and the gradients are ``pmean``-ed over ICI.
-* **compensator parallelism** — the inner jump-expectation sweep
-  (5000 MC samples / quadrature nodes shared across the batch) is
-  embarrassingly parallel over nodes; it shards over the mesh's ``comp`` axis
-  with a ``psum`` of the weighted partial sums.  This is the structural
-  analogue of expert/sequence parallelism for this model family: the only
-  inner axis big enough to shard (SURVEY.md §5 long-context note).
+* **data parallelism** (``data`` mesh axis) — shard the simulated *paths*:
+  each chip rolls out its own path shard with a distinct folded RNG key; the
+  mesh-wide loss is the ``pmean`` over chips.
+* **compensator parallelism** (``comp`` mesh axis) — the inner jump-expectation
+  sweep (the reference's 5000-sample MC batch, SolversJumpDiff.py:34, or our
+  quadrature nodes) is embarrassingly parallel over nodes and shards over a
+  second axis with a ``psum`` of weighted partial sums
+  (PricingSolver(comp_axis=...)).  This is the structural analogue of
+  expert/sequence parallelism for this model family — the only inner axis wide
+  enough to shard (SURVEY.md §5).
 
-Both are expressed with ``shard_map`` over a 1-D or 2-D ``Mesh``; XLA inserts
-the all-reduces over ICI.  Losses are per-shard means, so ``pmean`` of grads
-equals the global-batch gradient exactly (all schemes reduce with
-batch-means).
+Correctness-first structure: the SPMD loss is a ``shard_map`` closure and the
+gradient is taken OUTSIDE it (``jax.grad`` differentiates through shard_map's
+collectives), so the update equals the single-chip gradient of the mesh-wide
+mean loss exactly — no hand-assembled per-shard grad averaging to get wrong.
+XLA lowers the transposed psum/pmean to all-reduces over ICI.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Callable, Optional, Sequence
+from typing import Callable, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
+
+Axes = Union[str, Tuple[str, ...]]
 
 
-def make_mesh(axis_sizes: Sequence[int] = None, axis_names: Sequence[str] = ("data",),
-              devices=None) -> Mesh:
+def make_mesh(axis_sizes: Sequence[int] = None,
+              axis_names: Sequence[str] = ("data",), devices=None) -> Mesh:
     """Build a Mesh over all (or given) devices; default 1-D data mesh."""
     devices = np.asarray(devices if devices is not None else jax.devices())
     if axis_sizes is None:
@@ -45,48 +49,57 @@ def make_mesh(axis_sizes: Sequence[int] = None, axis_names: Sequence[str] = ("da
 
 
 def make_dp_loss(loss_fn: Callable, mesh: Mesh, data_axis: str = "data") -> Callable:
-    """Wrap a per-shard ``loss(params, key)`` into a mesh-wide SPMD loss.
+    """Mesh-wide SPMD loss: per-chip path shards with folded keys, pmean'd.
 
-    Each chip computes the loss of its own path shard with a distinct key
-    (``fold_in(key, axis_index)``); the result is the pmean over chips —
-    identical in expectation to one big batch of  n_chips * per-chip size.
-    """
+    The per-shard ``loss_fn(params, key)`` simulates ``batch_per_chip`` paths;
+    the wrapped loss equals  mean_i loss_fn(params, fold_in(key, i))  over the
+    data axis (and is invariant over any other mesh axes, whose collectives —
+    e.g. the compensator psum — run inside ``loss_fn``)."""
+    all_axes = tuple(mesh.axis_names)
 
-    @functools.partial(
-        shard_map, mesh=mesh,
-        in_specs=(P(), P()),
-        out_specs=P(),
-    )
+    @functools.partial(shard_map, mesh=mesh, in_specs=(P(), P()), out_specs=P(),
+                       check_vma=False)
     def dp_loss(params, key):
         idx = jax.lax.axis_index(data_axis)
         local = loss_fn(params, jax.random.fold_in(key, idx))
-        return jax.lax.pmean(local, data_axis)
+        return jax.lax.pmean(local, all_axes)
 
     return dp_loss
 
 
 def make_dp_update(loss_fn: Callable, optimizer: optax.GradientTransformation,
                    mesh: Mesh, data_axis: str = "data") -> Callable:
-    """One SPMD Adam step: per-chip grads -> pmean over ICI -> update.
+    """One SPMD Adam step, jitted: (params, opt_state, key) -> (params,
+    opt_state, loss).  Params and optimizer state are replicated; gradients of
+    the shard_map'd loss produce the ICI all-reduces automatically."""
+    dp_loss = make_dp_loss(loss_fn, mesh, data_axis)
 
-    Params/opt state are replicated (P()); the gradient all-reduce is the only
-    collective.  Returns jitted (params, opt_state, key) -> (params, opt_state,
-    loss).
-    """
-
-    @functools.partial(
-        shard_map, mesh=mesh,
-        in_specs=(P(), P(), P()),
-        out_specs=(P(), P(), P()),
-        check_vma=False,
-    )
+    @jax.jit
     def update(params, opt_state, key):
-        idx = jax.lax.axis_index(data_axis)
-        loss, grads = jax.value_and_grad(loss_fn)(params, jax.random.fold_in(key, idx))
-        grads = jax.lax.pmean(grads, data_axis)
-        loss = jax.lax.pmean(loss, data_axis)
+        loss, grads = jax.value_and_grad(dp_loss)(params, key)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
-    return jax.jit(update)
+    return update
+
+
+def make_dp_epoch(loss_fn: Callable, optimizer: optax.GradientTransformation,
+                  mesh: Mesh, num_inner: int, data_axis: str = "data") -> Callable:
+    """Device-side scan of ``num_inner`` SPMD Adam steps (one host sync per
+    outer epoch, multi-chip analogue of solvers/train.py:make_epoch_fn)."""
+    dp_loss = make_dp_loss(loss_fn, mesh, data_axis)
+
+    def step(carry, key):
+        params, opt_state = carry
+        loss, grads = jax.value_and_grad(dp_loss)(params, key)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return (optax.apply_updates(params, updates), opt_state), loss
+
+    @jax.jit
+    def epoch(params, opt_state, key):
+        keys = jax.random.split(key, num_inner)
+        (params, opt_state), losses = jax.lax.scan(step, (params, opt_state), keys)
+        return params, opt_state, losses[-1]
+
+    return epoch

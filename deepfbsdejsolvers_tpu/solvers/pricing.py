@@ -80,6 +80,12 @@ class PricingSolver:
     activation: str = "tanh"
     compensator: CompensatorSpec = CompensatorSpec()
     remat: bool = True
+    # When set, the compensator node axis is sharded over this mesh axis: each
+    # shard sweeps its node slice and the weighted partial sums are psum'd over
+    # ICI.  The loss must then run inside shard_map on a mesh with this axis
+    # (parallel/data_parallel.py).
+    comp_axis: Optional[str] = None
+    comp_shards: int = 1
 
     def __post_init__(self):
         if self.scheme not in PRICING_SCHEMES:
@@ -88,8 +94,17 @@ class PricingSolver:
             raise ValueError(f"unknown regime {self.model.regime!r}")
         if self.compensator.kind == "quadrature":
             nodes, weights = self.model.jump_quadrature(self.compensator)
+            if self.comp_axis is not None:
+                # zero-weight pad so the node count divides the comp shards
+                m = int(nodes.shape[0])
+                per = -(-m // self.comp_shards)
+                pad = per * self.comp_shards - m
+                nodes = jnp.pad(nodes, (0, pad))
+                weights = jnp.pad(weights, (0, pad))
         else:
             nodes, weights = None, None
+            if self.comp_axis is not None and self.compensator.n_mc % self.comp_shards:
+                raise ValueError("n_mc must divide comp_shards")
         object.__setattr__(self, "_quad", (nodes, weights))
         object.__setattr__(self, "_act", get_activation(self.activation))
 
@@ -176,11 +191,22 @@ class PricingSolver:
         quadrature nodes.  Returns (gamma, compensator), both (B,)."""
         use_gam_net = "gam" in params and (self.scheme != "multistep1"
                                            and self.scheme != "sumlocal1")
+        sharded = self.comp_axis is not None
         if self.compensator.kind == "mc":
-            nodes = self.model.sample_jumps(key_mc, (self.compensator.n_mc,))
+            n = self.compensator.n_mc
+            if sharded:
+                # each comp shard draws its own slice of the MC node set
+                key_mc = jax.random.fold_in(key_mc, jax.lax.axis_index(self.comp_axis))
+                n = n // self.comp_shards
+            nodes = self.model.sample_jumps(key_mc, (n,))
             weights = None
         else:
             nodes, weights = self._quad
+            if sharded:
+                per = nodes.shape[0] // self.comp_shards
+                c = jax.lax.axis_index(self.comp_axis)
+                nodes = jax.lax.dynamic_slice_in_dim(nodes, c * per, per)
+                weights = jax.lax.dynamic_slice_in_dim(weights, c * per, per)
         nodes_b = nodes[:, None]  # (M, 1) vs batch (B,)
         if use_gam_net:
             gam = self._apply(params["gam"], self._gamma_inputs(i, x, j))[..., 0]
@@ -188,7 +214,13 @@ class PricingSolver:
         else:
             gam = self._apply(params["uz"], self._unet_jump_inputs(i, x, j))[..., 0]
             sweep = self._apply(params["uz"], self._unet_jump_inputs(i, x[None, :], nodes_b))[..., 0]
-        return gam, compensated_mean(sweep, weights)
+        comp = compensated_mean(sweep, weights)
+        if sharded:
+            if weights is None:
+                comp = jax.lax.pmean(comp, self.comp_axis)  # mean of MC shards
+            else:
+                comp = jax.lax.psum(comp, self.comp_axis)   # weighted partials
+        return gam, comp
 
     # ---------------------------------------------------------------- rollout
     def _draws(self, key, i, batch):

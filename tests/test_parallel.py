@@ -1,0 +1,129 @@
+"""Multi-chip SPMD tests on the 8-device virtual CPU mesh (SURVEY.md §4:
+"run the same seed on 1 chip vs k chips and assert equality of the psum'd
+gradients" — the TPU-world substitute for a fake NCCL backend)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from jax.sharding import Mesh
+
+from deepfbsdejsolvers_tpu.models.merton import MertonJumpModel, abs_coupling
+from deepfbsdejsolvers_tpu.ops.compensator import CompensatorSpec
+from deepfbsdejsolvers_tpu.parallel.data_parallel import (
+    make_dp_epoch,
+    make_dp_loss,
+    make_dp_update,
+    make_mesh,
+)
+from deepfbsdejsolvers_tpu.solvers.pricing import PricingSolver
+from deepfbsdejsolvers_tpu.solvers.train import make_adam
+
+SMALL_QUAD = CompensatorSpec(kind="quadrature", n_poisson_max=3, n_hermite=4)
+
+
+def tiny_model(n=4):
+    return MertonJumpModel(T=1.0, N=n, r=0.1, muJ=0.0, sigJ=0.2, sigma=0.3,
+                           lam=3.0, K=0.9, x0=1.0, coupling=abs_coupling(0.1))
+
+
+def test_eight_devices_available():
+    assert jax.device_count() >= 8
+
+
+def test_dp_loss_equals_serial_mean(rng_key):
+    """shard_map loss == mean over shards of the per-shard losses computed
+    serially with the same folded keys."""
+    solver = PricingSolver(tiny_model(), "global", hidden=(8, 8),
+                           compensator=SMALL_QUAD)
+    params = solver.init_params(rng_key)
+    loss_fn = solver.build_loss(16)
+    mesh = make_mesh((8,))
+    dp_loss = make_dp_loss(loss_fn, mesh)
+    got = float(dp_loss(params, rng_key))
+    want = float(np.mean([
+        float(loss_fn(params, jax.random.fold_in(rng_key, i))) for i in range(8)
+    ]))
+    assert abs(got - want) < 1e-6
+
+
+def test_dp_grads_equal_serial_grads(rng_key):
+    """The 8-chip psum'd gradient == single-device gradient of the mesh-mean
+    loss, to float32 tolerance."""
+    solver = PricingSolver(tiny_model(), "global", hidden=(8, 8),
+                           compensator=SMALL_QUAD)
+    params = solver.init_params(rng_key)
+    loss_fn = solver.build_loss(16)
+    mesh = make_mesh((8,))
+    dp_loss = make_dp_loss(loss_fn, mesh)
+    g_dp = jax.grad(dp_loss)(params, rng_key)
+
+    def serial(params, key):
+        return jnp.mean(jnp.stack([
+            loss_fn(params, jax.random.fold_in(key, i)) for i in range(8)
+        ]))
+
+    g_serial = jax.grad(serial)(params, rng_key)
+    for a, b in zip(jax.tree_util.tree_leaves(g_dp),
+                    jax.tree_util.tree_leaves(g_serial)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=1e-7)
+
+
+def test_dp_update_step_and_epoch(rng_key):
+    solver = PricingSolver(tiny_model(), "global", hidden=(8, 8),
+                           compensator=SMALL_QUAD)
+    params = solver.init_params(rng_key)
+    optimizer = make_adam(1e-3)
+    opt_state = optimizer.init(params)
+    mesh = make_mesh((8,))
+    update = make_dp_update(solver.build_loss(8), optimizer, mesh)
+    p1, s1, l1 = update(params, opt_state, rng_key)
+    assert np.isfinite(float(l1))
+    epoch = make_dp_epoch(solver.build_loss(8), optimizer, mesh, num_inner=5)
+    p2, s2, l2 = epoch(params, opt_state, rng_key)
+    assert np.isfinite(float(l2))
+    # params actually moved
+    delta = sum(float(jnp.sum(jnp.abs(a - b))) for a, b in zip(
+        jax.tree_util.tree_leaves(p2), jax.tree_util.tree_leaves(params)))
+    assert delta > 0
+
+
+def test_compensator_sharding_matches_unsharded(rng_key):
+    """2-D mesh (data=4, comp=2): sharding the quadrature node axis with psum
+    must reproduce the unsharded compensator loss and gradients."""
+    model = tiny_model()
+    spec = CompensatorSpec(kind="quadrature", n_poisson_max=4, n_hermite=4)
+    base = PricingSolver(model, "global", hidden=(8, 8), compensator=spec)
+    params = base.init_params(rng_key)
+
+    mesh2 = make_mesh((4, 2), ("data", "comp"))
+    sharded = PricingSolver(model, "global", hidden=(8, 8), compensator=spec,
+                            comp_axis="comp", comp_shards=2)
+    dp_loss_sharded = make_dp_loss(sharded.build_loss(16), mesh2)
+
+    mesh1 = make_mesh((4,), ("data",), devices=jax.devices()[:4])
+    dp_loss_base = make_dp_loss(base.build_loss(16), mesh1)
+
+    a = float(dp_loss_base(params, rng_key))
+    b = float(dp_loss_sharded(params, rng_key))
+    assert abs(a - b) < 1e-5
+
+    ga = jax.grad(dp_loss_base)(params, rng_key)
+    gb = jax.grad(dp_loss_sharded)(params, rng_key)
+    for x, y in zip(jax.tree_util.tree_leaves(ga), jax.tree_util.tree_leaves(gb)):
+        # f32 reduction-order noise between the psum'd and fused sweeps
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=5e-4, atol=5e-6)
+
+
+def test_graft_entry_dryrun():
+    import sys
+    sys.path.insert(0, ".")
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    v = jax.jit(fn)(*args)
+    assert np.isfinite(float(v))
+    ge.dryrun_multichip(8)
