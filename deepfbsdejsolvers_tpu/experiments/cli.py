@@ -1,0 +1,216 @@
+"""One CLI for every experiment: ``python -m deepfbsdejsolvers_tpu <cmd>``.
+
+Replaces the reference's four per-script argparse blocks (mainMerton.py:12-23,
+mainVG.py:12-22, mainMFGComparison.py:13-31, mainMFGPoA.py:18-36) with
+subcommands whose flags keep the reference names (``--nbNeuron``,
+``--nEpochExt``, ...) so reference users can port command lines verbatim.
+
+Subcommands
+-----------
+merton        7-method pricing sweep on the Merton model (mainMerton)
+vg            7-method pricing sweep on the Variance-Gamma model (mainVG)
+mfg-compare   5-method MFG comparison (mainMFGComparison)
+mfg-poa       Price-of-Anarchy case sweep (mainMFGPoA)
+bench         the headline throughput benchmark (bench.py)
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import Optional, Sequence
+
+from deepfbsdejsolvers_tpu.experiments.configs import (
+    MFG_METHODS,
+    MFGComparisonConfig,
+    MFGPoAConfig,
+    MertonConfig,
+    PRICING_METHODS,
+    RunIO,
+    VGConfig,
+)
+
+
+def _add_io_flags(p: argparse.ArgumentParser):
+    p.add_argument("--outdir", type=str, default=None,
+                   help="artifact directory (metrics.jsonl, plots, ckpts)")
+    p.add_argument("--savePlots", action="store_true")
+    p.add_argument("--checkpointEvery", type=int, default=0,
+                   help="outer epochs between checkpoints (0 = off)")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the latest checkpoint in outdir")
+    p.add_argument("--profileDir", type=str, default=None,
+                   help="capture a jax.profiler trace here")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--quiet", action="store_true")
+
+
+def _io_from_args(args) -> RunIO:
+    return RunIO(outdir=args.outdir, save_plots=args.savePlots,
+                 checkpoint_every=args.checkpointEvery, resume=args.resume,
+                 profile_dir=args.profileDir)
+
+
+def _add_pricing_flags(p: argparse.ArgumentParser, lr_y0, lr_loc, lr_reg,
+                       methods):
+    p.add_argument("--nbNeuron", type=int, default=21)
+    p.add_argument("--nbLayer", type=int, default=2)
+    p.add_argument("--nEpochExt", type=int, default=120)
+    p.add_argument("--nEpoch", type=int, default=100)
+    p.add_argument("--batchSize", type=int, default=10)
+    p.add_argument("--lRateY0", type=float, default=lr_y0)
+    p.add_argument("--lRateLoc", type=float, default=lr_loc)
+    p.add_argument("--lRateReg", type=float, default=lr_reg)
+    p.add_argument("--activation", type=str, default="tanh",
+                   choices=["tanh", "relu", "sigmoid"])
+    p.add_argument("--aLin", type=float, default=0.1)
+    p.add_argument("--methods", type=str, nargs="*", default=list(methods),
+                   choices=list(methods))
+    p.add_argument("--compensator", type=str, default="quadrature",
+                   choices=["quadrature", "mc"],
+                   help="inner jump-expectation mode (reference = mc 5000)")
+    p.add_argument("--nMC", type=int, default=5000)
+
+
+def _pricing_common(args) -> dict:
+    return dict(
+        nb_neuron=args.nbNeuron, nb_layer=args.nbLayer,
+        n_epoch_ext=args.nEpochExt, n_epoch=args.nEpoch,
+        batch_size=args.batchSize, lrate_y0=args.lRateY0,
+        lrate_loc=args.lRateLoc, lrate_reg=args.lRateReg,
+        activation=args.activation, a_lin=args.aLin, methods=args.methods,
+        compensator=args.compensator, n_mc=args.nMC, seed=args.seed,
+        io=_io_from_args(args),
+    )
+
+
+def _add_mfg_flags(p: argparse.ArgumentParser, defaults: MFGPoAConfig | MFGComparisonConfig):
+    p.add_argument("--nbNeuron_hat", type=int, default=defaults.nb_neuron_hat)
+    p.add_argument("--nbNeuron", type=int, default=defaults.nb_neuron)
+    p.add_argument("--nbLayer_hat", type=int, default=defaults.nb_layer_hat)
+    p.add_argument("--nbLayer", type=int, default=defaults.nb_layer)
+    p.add_argument("--nEpochExt", type=int, default=defaults.n_epoch_ext)
+    p.add_argument("--nEpoch", type=int, default=defaults.n_epoch)
+    p.add_argument("--batchSize", type=int, default=defaults.batch_size)
+    p.add_argument("--rafCoef", type=int, default=defaults.raf_coef)
+    p.add_argument("--jumpFac", type=float, default=defaults.jump_factor)
+    p.add_argument("--nbDays", type=int, default=defaults.nb_days)
+    p.add_argument("--lRateY0", type=float, default=defaults.lrate_y0)
+    p.add_argument("--lRateLoc", type=float, default=defaults.lrate_loc)
+    p.add_argument("--lRateReg", type=float, default=defaults.lrate_reg)
+    p.add_argument("--couplage", type=str, default="ON", choices=["ON", "OFF"])
+    p.add_argument("--jumpModel", type=str, default="stochastic",
+                   choices=["stochastic", "constant"])
+    p.add_argument("--activation_hat", type=str, default="tanh",
+                   choices=["tanh", "relu", "sigmoid"])
+    p.add_argument("--activation", type=str, default="tanh",
+                   choices=["tanh", "relu", "sigmoid"])
+
+
+def _mfg_common(args) -> dict:
+    return dict(
+        nb_neuron_hat=args.nbNeuron_hat, nb_neuron=args.nbNeuron,
+        nb_layer_hat=args.nbLayer_hat, nb_layer=args.nbLayer,
+        n_epoch_ext=args.nEpochExt, n_epoch=args.nEpoch,
+        batch_size=args.batchSize, raf_coef=args.rafCoef,
+        jump_factor=args.jumpFac, nb_days=args.nbDays,
+        lrate_y0=args.lRateY0, lrate_loc=args.lRateLoc,
+        lrate_reg=args.lRateReg, couplage=args.couplage,
+        jump_model=args.jumpModel, activation_hat=args.activation_hat,
+        activation=args.activation, seed=args.seed, io=_io_from_args(args),
+    )
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="deepfbsdejsolvers_tpu",
+        description="TPU-native deep FBSDE solvers with jumps")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("merton", help="Merton pricing sweep (mainMerton)")
+    _add_pricing_flags(p, 4e-4, 3e-4, 3e-4, PRICING_METHODS)
+    p.add_argument("--limit", type=int, default=30)
+    _add_io_flags(p)
+
+    p = sub.add_parser("vg", help="Variance-Gamma pricing sweep (mainVG)")
+    _add_pricing_flags(p, 5e-4, 3e-4, 1.5e-4, PRICING_METHODS)
+    p.add_argument("--pricer", type=str, default="fft",
+                   choices=["fft", "invfourier"])
+    _add_io_flags(p)
+
+    p = sub.add_parser("mfg-compare", help="MFG method comparison")
+    _add_mfg_flags(p, MFGComparisonConfig())
+    p.add_argument("--methods", type=str, nargs="*", default=list(MFG_METHODS),
+                   choices=list(MFG_METHODS))
+    p.add_argument("--nbSimulation", type=int, default=10**5)
+    _add_io_flags(p)
+
+    p = sub.add_parser("mfg-poa", help="Price-of-Anarchy sweep")
+    _add_mfg_flags(p, MFGPoAConfig())
+    p.add_argument("--method", type=str, default="Global", choices=list(MFG_METHODS))
+    p.add_argument("--nFrozen", type=int, default=1000,
+                   help="frozen-noise trajectories (reference nbSimul)")
+    p.add_argument("--nReplay", type=int, default=5,
+                   help="paths plotted per sweep point (reference NbSimulation)")
+    p.add_argument("--piList", type=float, nargs="*", default=[0.0, 0.1, 0.5, 0.95])
+    _add_io_flags(p)
+
+    p = sub.add_parser("bench", help="headline throughput benchmark")
+    p.add_argument("--batch", type=int, default=2**17)
+    p.add_argument("--inner", type=int, default=10)
+    p.add_argument("--rounds", type=int, default=3)
+
+    return parser
+
+
+def main(argv: Optional[Sequence[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+    verbose = not getattr(args, "quiet", False)
+
+    if args.cmd == "merton":
+        from deepfbsdejsolvers_tpu.experiments.pricing import run_pricing
+
+        cfg = MertonConfig(limit=args.limit, **_pricing_common(args))
+        res = run_pricing(cfg, verbose=verbose)
+        for m, r in res.methods.items():
+            print(f"{m}: Y0={r.y0:.6f}  |err|={r.abs_error:.2e}  "
+                  f"({r.duration:.1f}s)")
+        print(f"closed-form price: {res.reference_price:.6f}")
+    elif args.cmd == "vg":
+        from deepfbsdejsolvers_tpu.experiments.pricing import run_pricing
+
+        cfg = VGConfig(pricer=args.pricer, **_pricing_common(args))
+        res = run_pricing(cfg, verbose=verbose)
+        for m, r in res.methods.items():
+            print(f"{m}: Y0={r.y0:.6f}  |err|={r.abs_error:.2e}  "
+                  f"({r.duration:.1f}s)")
+        print(f"FFT reference price: {res.reference_price:.6f}")
+    elif args.cmd == "mfg-compare":
+        from deepfbsdejsolvers_tpu.experiments.mfg_comparison import run_mfg_comparison
+
+        cfg = MFGComparisonConfig(methods=args.methods,
+                                  n_simulation=args.nbSimulation,
+                                  **_mfg_common(args))
+        res = run_mfg_comparison(cfg, verbose=verbose)
+        for m, r in res.methods.items():
+            print(f"{m}: Y0_hat={r.y0_hat_history[-1]:.6f}  "
+                  f"Y0={r.y0_history[-1]:.6f}")
+    elif args.cmd == "mfg-poa":
+        from deepfbsdejsolvers_tpu.experiments.mfg_poa import run_mfg_poa
+
+        cfg = MFGPoAConfig(method=args.method, n_frozen=args.nFrozen,
+                           n_replay=args.nReplay, pi_list=args.piList,
+                           **_mfg_common(args))
+        res = run_mfg_poa(cfg, verbose=verbose)
+        print(res.table().to_string(index=False))
+    elif args.cmd == "bench":
+        import subprocess
+
+        return subprocess.call(
+            [sys.executable, "bench.py", "--batch", str(args.batch),
+             "--inner", str(args.inner), "--rounds", str(args.rounds)])
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

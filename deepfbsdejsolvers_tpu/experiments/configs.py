@@ -1,0 +1,197 @@
+"""Typed experiment configs with reference-default presets.
+
+Defaults reproduce the reference argparse defaults exactly:
+* Merton — mainMerton.py:13-23 (nbNeuron=21, nbLayer=2, nEpochExt=120,
+  nEpoch=100, batchSize=10, lRateY0=4e-4, lRateLoc=3e-4, lRateReg=3e-4,
+  aLin=0.1, limit=30)
+* VG — mainVG.py:12-22 (lRateY0=5e-4, lRateLoc=3e-4, lRateReg=1.5e-4)
+* MFG comparison — mainMFGComparison.py:13-31 (nbNeuron_hat=20, nbNeuron=22,
+  nEpochExt=100, nEpoch=200, batchSize=128, jumpFac=2.16, nbDays=2,
+  lRateY0=1e-3, lRateLoc=1.5e-4, lRateReg=1e-4)
+* MFG PoA — mainMFGPoA.py:18-36 (nEpoch=300, batchSize=64, jumpFac=12,
+  nbDays=1, lRateY0=1e-2, lRateLoc=1e-3, lRateReg=5e-3)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Sequence, Tuple
+
+PRICING_METHODS = ("Global", "SumMultiStep1", "SumMultiStep2", "SumLocal1",
+                   "SumLocal2", "SumLocalReg", "SumMultiStepReg")
+MFG_METHODS = ("Global", "SumMultiStep", "SumLocal", "SumLocalReg",
+               "SumMultiStepReg")
+
+# Reference method name -> internal scheme key (solvers/pricing.py, solvers/mfg.py).
+PRICING_METHOD_TO_SCHEME = {
+    "Global": "global",
+    "SumMultiStep1": "multistep1",
+    "SumMultiStep2": "multistep2",
+    "SumLocal1": "sumlocal1",
+    "SumLocal2": "sumlocal2",
+    "SumLocalReg": "sumlocal_reg",
+    "SumMultiStepReg": "multistep_reg",
+}
+MFG_METHOD_TO_SCHEME = {
+    "Global": "global",
+    "SumMultiStep": "multistep",
+    "SumLocal": "sumlocal",
+    "SumLocalReg": "sumlocal_reg",
+    "SumMultiStepReg": "multistep_reg",
+}
+
+
+@dataclasses.dataclass
+class RunIO:
+    """Where (and whether) to write artifacts."""
+
+    outdir: Optional[str] = None      # None -> no files written
+    metrics_jsonl: bool = True        # write <outdir>/metrics.jsonl
+    save_plots: bool = False          # write convergence figures
+    checkpoint_every: int = 0         # outer epochs between checkpoints (0=off)
+    resume: bool = False              # resume from latest checkpoint if present
+    profile_dir: Optional[str] = None  # jax.profiler trace dir
+
+
+@dataclasses.dataclass
+class PricingConfigBase:
+    """Shared knobs of the two pricing experiments."""
+
+    nb_neuron: int = 21
+    nb_layer: int = 2
+    n_epoch_ext: int = 120
+    n_epoch: int = 100
+    batch_size: int = 10
+    lrate_y0: float = 4e-4
+    lrate_loc: float = 3e-4
+    lrate_reg: float = 3e-4
+    activation: str = "tanh"
+    a_lin: float = 0.1
+    methods: Sequence[str] = PRICING_METHODS
+    compensator: str = "quadrature"   # "quadrature" | "mc" (reference = mc 5000)
+    n_mc: int = 5000
+    seed: int = 0
+    io: RunIO = dataclasses.field(default_factory=RunIO)
+
+    @property
+    def hidden(self) -> Tuple[int, ...]:
+        return (self.nb_neuron,) * self.nb_layer
+
+    def lrate_for(self, method: str) -> float:
+        """Per-method learning rate (mainMerton.py:105-118)."""
+        if method == "Global":
+            return self.lrate_y0
+        if method in ("SumLocalReg", "SumMultiStepReg"):
+            return self.lrate_reg
+        return self.lrate_loc
+
+
+@dataclasses.dataclass
+class MertonConfig(PricingConfigBase):
+    """mainMerton.py defaults (:13-23, params :57)."""
+
+    limit: int = 30
+
+
+@dataclasses.dataclass
+class VGConfig(PricingConfigBase):
+    """mainVG.py defaults (:12-22, params :54)."""
+
+    lrate_y0: float = 5e-4
+    lrate_loc: float = 3e-4
+    lrate_reg: float = 1.5e-4
+    pricer: str = "fft"               # "fft" | "invfourier"
+
+
+@dataclasses.dataclass
+class MFGConfigBase:
+    nb_neuron_hat: int = 20
+    nb_neuron: int = 22
+    nb_layer_hat: int = 2
+    nb_layer: int = 2
+    n_epoch_ext: int = 100
+    n_epoch: int = 200
+    batch_size: int = 128
+    raf_coef: int = 1
+    jump_factor: float = 2.16
+    nb_days: int = 2
+    lrate_y0: float = 1e-3
+    lrate_loc: float = 1.5e-4
+    lrate_reg: float = 1e-4
+    couplage: str = "ON"
+    jump_model: str = "stochastic"
+    activation_hat: str = "tanh"
+    activation: str = "tanh"
+    seed: int = 0
+    io: RunIO = dataclasses.field(default_factory=RunIO)
+
+    @property
+    def hidden_hat(self) -> Tuple[int, ...]:
+        return (self.nb_neuron_hat,) * self.nb_layer_hat
+
+    @property
+    def hidden(self) -> Tuple[int, ...]:
+        return (self.nb_neuron,) * self.nb_layer
+
+
+@dataclasses.dataclass
+class MFGComparisonConfig(MFGConfigBase):
+    """mainMFGComparison.py defaults (:13-31; price coefs :108)."""
+
+    methods: Sequence[str] = MFG_METHODS
+    n_simulation: int = 10**5
+    pi: float = 0.1
+    p0: float = 6.159423723
+    p1: float = 87.4286117
+    f0: float = 0.0
+    f1: float = 1e4
+
+    def lrate_for(self, method: str) -> float:
+        """Per-method lr.  NOTE the reference's crossed mapping is preserved:
+        SumMultiStep trains with lRateReg and SumLocalReg with lRateLoc
+        (mainMFGComparison.py:128-135)."""
+        table = {
+            "Global": self.lrate_y0,
+            "SumMultiStep": self.lrate_reg,
+            "SumLocal": self.lrate_loc,
+            "SumMultiStepReg": self.lrate_reg,
+            "SumLocalReg": self.lrate_loc,
+        }
+        return table[method]
+
+
+@dataclasses.dataclass
+class MFGPoAConfig(MFGConfigBase):
+    """mainMFGPoA.py defaults (:18-36) and its case sweep (:189-198)."""
+
+    nb_neuron: int = 20
+    n_epoch_ext: int = 100
+    n_epoch: int = 300
+    batch_size: int = 64
+    jump_factor: float = 12.0
+    nb_days: int = 1
+    lrate_y0: float = 1e-2
+    lrate_loc: float = 1e-3
+    lrate_reg: float = 5e-3
+    method: str = "Global"
+    n_frozen: int = 1000              # frozen-noise trajectory count (nbSimul)
+    n_replay: int = 5                 # NbSimulation — paths recorded/plotted
+    pi_list: Sequence[float] = (0.0, 0.1, 0.5, 0.95)
+    # case name -> (p0, p1, f0, f1), mainMFGPoA.py:189
+    cases: Dict[str, Tuple[float, float, float, float]] = dataclasses.field(
+        default_factory=lambda: {
+            "with jumps and with dynamic pricing": (6.159423723, 87.4286117, 0.0, 1e4),
+            "with jumps and without pricing": (0.0, 0.0, 0.0, 1e4),
+            "without jumps and with pricing": (6.159423723, 87.4286117, 0.0, 0.0),
+        })
+
+    def lrate_for(self, method: str) -> float:
+        """mainMFGPoA.py:216-225 (no crossed mapping here)."""
+        table = {
+            "Global": self.lrate_y0,
+            "SumMultiStep": self.lrate_loc,
+            "SumLocal": self.lrate_loc,
+            "SumMultiStepReg": self.lrate_reg,
+            "SumLocalReg": self.lrate_reg,
+        }
+        return table[method]

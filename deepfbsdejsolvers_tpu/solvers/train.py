@@ -76,15 +76,26 @@ def fit(
     val_loss_fn: Optional[Callable] = None,
     y0_fn: Optional[Callable] = None,
     verbose: bool = True,
+    on_epoch: Optional[Callable[[int, dict, Any], None]] = None,
+    start_epoch: int = 0,
+    opt_state: Any = None,
 ) -> TrainResult:
     """Train ``params`` for num_epoch_ext outer epochs of num_epoch Adam steps.
 
     ``val_loss_fn(params, key)`` is evaluated once per outer epoch on the
     validation batch (the reference's optimizeBSDE(batchSizeVal),
     SolversJumpDiff.py:68); ``y0_fn(params)`` extracts the current Y0 estimate.
+
+    ``on_epoch(epoch_idx, metrics, state)`` fires after each outer epoch with
+    ``metrics = {loss, y0, duration_s}`` and ``state = (params, opt_state,
+    key)`` — the hook point for JSONL metrics and checkpointing.
+    ``start_epoch``/``opt_state`` support deterministic resume: per-epoch keys
+    are folded from the epoch index, so restarting at epoch k replays the same
+    noise stream the uninterrupted run would have seen.
     """
     optimizer = make_adam(lrate)
-    opt_state = optimizer.init(params)
+    if opt_state is None:
+        opt_state = optimizer.init(params)
     epoch_fn = make_epoch_fn(loss_fn, optimizer, num_epoch)
     val_fn = jax.jit(val_loss_fn) if val_loss_fn is not None else None
 
@@ -92,8 +103,11 @@ def fit(
     loss_hist: List[float] = []
     dur_hist: List[float] = []
     duration = 0.0
-    for iout in range(num_epoch_ext):
-        key, k_epoch, k_val = jax.random.split(key, 3)
+    for iout in range(start_epoch, num_epoch_ext):
+        # Keys are a pure function of (key, epoch index) so a resumed run
+        # replays the identical noise stream (utils/checkpointing.py).
+        k_epoch = jax.random.fold_in(key, 2 * iout)
+        k_val = jax.random.fold_in(key, 2 * iout + 1)
         t0 = time.perf_counter()
         params, opt_state, last_loss = epoch_fn(params, opt_state, k_epoch)
         jax.block_until_ready(last_loss)
@@ -109,4 +123,7 @@ def fit(
         y0_hist.append(y0)
         loss_hist.append(obj)
         dur_hist.append(duration)
+        if on_epoch is not None:
+            on_epoch(iout, {"loss": obj, "y0": y0, "duration_s": duration},
+                     (params, opt_state, key))
     return TrainResult(params, y0_hist, loss_hist, duration, dur_hist)

@@ -1,0 +1,77 @@
+"""Checkpoint / deterministic-resume tests (new capability — SURVEY.md §5:
+the reference keeps weights only in process memory)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepfbsdejsolvers_tpu.models.merton import make_merton_default
+from deepfbsdejsolvers_tpu.solvers.pricing import PricingSolver
+from deepfbsdejsolvers_tpu.solvers.train import fit, make_adam
+from deepfbsdejsolvers_tpu.utils.checkpointing import (
+    CheckpointManager,
+    restore_checkpoint,
+    save_checkpoint,
+)
+
+
+def tree_allclose(a, b):
+    return all(jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(lambda x, y: bool(jnp.allclose(x, y)), a, b)))
+
+
+def test_roundtrip_params_and_key(tmp_path):
+    solver = PricingSolver(make_merton_default(), "global")
+    params = solver.init_params(jax.random.key(0))
+    key = jax.random.key(123)
+    state = (params, key, 7)
+    save_checkpoint(str(tmp_path / "ck"), state)
+    params2, key2, step = restore_checkpoint(str(tmp_path / "ck"), state)
+    assert step == 7
+    assert tree_allclose(params, params2)
+    # the PRNG key survives the key_data round trip bit-exactly
+    assert jnp.array_equal(jax.random.key_data(key), jax.random.key_data(key2))
+
+
+def test_manager_keeps_latest(tmp_path):
+    mgr = CheckpointManager(str(tmp_path), keep=2)
+    for step in (1, 2, 3):
+        mgr.save(step, {"x": jnp.asarray(float(step))})
+    assert mgr.latest_step() == 3
+    step, state = mgr.restore_latest({"x": jnp.asarray(0.0)})
+    assert step == 3 and float(state["x"]) == 3.0
+    # oldest pruned
+    assert len(mgr._step_dirs()) == 2
+
+
+def test_resume_is_deterministic(tmp_path):
+    """Training E epochs straight equals training k, checkpointing, resuming
+    for E-k — the fold_in epoch keys make the noise stream restart-invariant."""
+    solver = PricingSolver(make_merton_default(), "global")
+    key = jax.random.key(5)
+    params0 = solver.init_params(jax.random.key(1))
+    loss_fn = solver.build_loss(8)
+    common = dict(loss_fn=loss_fn, lrate=1e-3, num_epoch=2,
+                  y0_fn=solver.y0_estimate, verbose=False)
+
+    # uninterrupted: 3 outer epochs
+    res_full = fit(params=params0, key=key, num_epoch_ext=3, **common)
+
+    # interrupted at epoch 1, checkpoint, fresh-process-style resume
+    saved = {}
+
+    def on_epoch(i, metrics, state):
+        if i == 1:
+            save_checkpoint(str(tmp_path / "ck"), state)
+
+    fit(params=params0, key=key, num_epoch_ext=2, on_epoch=on_epoch, **common)
+    opt_example = make_adam(1e-3).init(params0)
+    params_r, opt_r, key_r = restore_checkpoint(
+        str(tmp_path / "ck"), (params0, opt_example, key))
+    res_resumed = fit(params=params_r, key=key_r, num_epoch_ext=3,
+                      start_epoch=2, opt_state=opt_r, **common)
+
+    assert res_resumed.y0_history[-1] == pytest.approx(
+        res_full.y0_history[-1], rel=1e-6)
+    assert tree_allclose(res_full.params, res_resumed.params)

@@ -116,17 +116,21 @@ def test_hat_loss_independent_of_full_net(rng_key):
 
 @pytest.mark.parametrize("couplage", ["ON", "OFF"])
 def test_mfg_training_reduces_loss(couplage, rng_key):
+    """Trained params beat the init params on the SAME validation noise —
+    comparing the per-epoch histories directly is brittle because each epoch's
+    validation loss is a fresh noisy batch."""
     solver = MFGSolver(small_model(), "global", hidden_hat=(8, 8), hidden=(8, 8))
+    key, k_init = jax.random.split(rng_key)
+    params0 = solver.init_params(k_init)
+    pair_val = jax.jit(solver.build_pair_loss(256))
+    k_fixed = jax.random.key(7)
+
     res = solver.train(rng_key, batch=32, batch_val=128, num_epoch=15,
                        num_epoch_ext=2, lrate=3e-3, couplage=couplage,
                        verbose=False)
-    hist = res.loss_history
-    if couplage == "ON":
-        assert hist[-1] < hist[0]
-    else:
-        # OFF concatenates the hat phase then the full phase
-        # (MFGSolvers.py:93-115); each phase must improve on its own scale.
-        assert hist[1] < hist[0] and hist[3] < hist[2]
+    before = sum(float(x) for x in pair_val(params0, k_fixed))
+    after = sum(float(x) for x in pair_val(res.params, k_fixed))
+    assert after < before
     hat_hist, full_hist = tuple(res)
     assert len(hat_hist) == 2 and len(full_hist) == 2
 
