@@ -23,7 +23,7 @@ import sys
 import time
 
 
-def build(batch: int, compensator: str):
+def build(batch: int, compensator: str, parity: bool):
     import jax
 
     from deepfbsdejsolvers_tpu.models.merton import make_merton_default
@@ -31,11 +31,27 @@ def build(batch: int, compensator: str):
     from deepfbsdejsolvers_tpu.solvers.pricing import PricingSolver
     from deepfbsdejsolvers_tpu.solvers.train import make_adam
 
-    model = make_merton_default()
-    solver = PricingSolver(
-        model, "global",
-        compensator=CompensatorSpec(kind=compensator),
-    )
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if parity:
+        # reference-faithful numerics: exact Poisson sampler, f32 heads,
+        # XLA sweep over the default 49-node rule (or 5000-sample MC)
+        model = make_merton_default()
+        solver = PricingSolver(
+            model, "global", compensator=CompensatorSpec(kind=compensator))
+    else:
+        # speed config (accuracy-gated in tests/test_fast_paths.py and the
+        # convergence runs recorded in BASELINE.md): 16-node quadrature
+        # (tail mass < 1e-6 at lam*dt = 0.06), inverse-CDF Poisson sampling
+        # (law equal to 1e-9), bfloat16 head matmuls, fused Pallas sweep.
+        # Off-TPU (the CPU anchor) the same math runs through XLA in f32 —
+        # interpret-mode Pallas / CPU bf16 would be artificially slow.
+        model = make_merton_default(jump_sampler="icdf")
+        solver = PricingSolver(
+            model, "global",
+            compensator=CompensatorSpec(kind=compensator, n_poisson_max=3,
+                                        n_hermite=5),
+            compute_dtype="bfloat16" if on_tpu else None,
+            sweep_impl="pallas" if on_tpu else "xla")
     params = solver.init_params(jax.random.key(0))
     optimizer = make_adam(4e-4)
     opt_state = optimizer.init(params)
@@ -43,12 +59,14 @@ def build(batch: int, compensator: str):
     return model, solver, params, optimizer, opt_state, loss_fn
 
 
-def measure(batch: int, inner: int, rounds: int, compensator: str) -> dict:
+def measure(batch: int, inner: int, rounds: int, compensator: str,
+            parity: bool = False) -> dict:
     import jax
 
     from deepfbsdejsolvers_tpu.solvers.train import make_epoch_fn
 
-    model, solver, params, optimizer, opt_state, loss_fn = build(batch, compensator)
+    model, solver, params, optimizer, opt_state, loss_fn = build(
+        batch, compensator, parity)
     epoch = make_epoch_fn(loss_fn, optimizer, inner)
     key = jax.random.key(1)
     # compile + warmup
@@ -82,6 +100,9 @@ def main():
     p.add_argument("--rounds", type=int, default=3)
     p.add_argument("--compensator", choices=["quadrature", "mc"],
                    default="quadrature")
+    p.add_argument("--parity", action="store_true",
+                   help="reference-faithful numerics (f32, exact sampler, "
+                        "49-node/MC sweep) instead of the speed config")
     p.add_argument("--anchor", action="store_true",
                    help="measure the CPU anchor and write bench_baseline.json")
     args = p.parse_args()
@@ -90,11 +111,13 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-        res = measure(args.batch, args.inner, args.rounds, args.compensator)
+        res = measure(args.batch, args.inner, args.rounds, args.compensator,
+                      args.parity)
         payload = {
             "anchor_paths_steps_per_sec": res["paths_steps_per_sec"],
             "batch": args.batch,
             "compensator": args.compensator,
+            "parity": args.parity,
             "device": res["device"],
         }
         with open(ANCHOR_FILE, "w") as f:
@@ -102,7 +125,8 @@ def main():
         print(json.dumps(payload), file=sys.stderr)
         return
 
-    res = measure(args.batch, args.inner, args.rounds, args.compensator)
+    res = measure(args.batch, args.inner, args.rounds, args.compensator,
+                  args.parity)
     vs = None
     if os.path.exists(ANCHOR_FILE):
         with open(ANCHOR_FILE) as f:

@@ -70,9 +70,17 @@ def _add_pricing_flags(p: argparse.ArgumentParser, lr_y0, lr_loc, lr_reg,
                    choices=["quadrature", "mc"],
                    help="inner jump-expectation mode (reference = mc 5000)")
     p.add_argument("--nMC", type=int, default=5000)
+    p.add_argument("--fast", action="store_true",
+                   help="TPU speed preset: 16-node quadrature, icdf Poisson "
+                        "sampling, bfloat16 heads, fused Pallas sweep "
+                        "(accuracy-gated; see tests/test_fast_paths.py)")
 
 
 def _pricing_common(args) -> dict:
+    fast = {}
+    if args.fast:
+        fast = dict(n_poisson_max=3, n_hermite=5, compute_dtype="bfloat16",
+                    sweep_impl="pallas", jump_sampler="icdf")
     return dict(
         nb_neuron=args.nbNeuron, nb_layer=args.nbLayer,
         n_epoch_ext=args.nEpochExt, n_epoch=args.nEpoch,
@@ -80,7 +88,7 @@ def _pricing_common(args) -> dict:
         lrate_loc=args.lRateLoc, lrate_reg=args.lRateReg,
         activation=args.activation, a_lin=args.aLin, methods=args.methods,
         compensator=args.compensator, n_mc=args.nMC, seed=args.seed,
-        io=_io_from_args(args),
+        io=_io_from_args(args), **fast,
     )
 
 

@@ -70,6 +70,12 @@ class PricingConfigBase:
     methods: Sequence[str] = PRICING_METHODS
     compensator: str = "quadrature"   # "quadrature" | "mc" (reference = mc 5000)
     n_mc: int = 5000
+    n_poisson_max: int = 6            # quadrature sizing (Merton); (3, 5) is
+    n_hermite: int = 8                # the accuracy-gated fast preset
+    n_laguerre: int = 12              # quadrature sizing (VG)
+    compute_dtype: Optional[str] = None   # "bfloat16" = TPU speed path
+    sweep_impl: str = "xla"           # "pallas" = fused MXU compensator kernel
+    jump_sampler: str = "exact"       # "icdf" = truncated inverse-CDF Poisson
     seed: int = 0
     io: RunIO = dataclasses.field(default_factory=RunIO)
 

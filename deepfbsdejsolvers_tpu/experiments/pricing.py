@@ -35,7 +35,8 @@ def build_model(config):
     if isinstance(config, MertonConfig):
         return MertonJumpModel(T=1.0, N=50, r=0.1, muJ=0.0, sigJ=0.2, sigma=0.3,
                                lam=3.0, K=0.9, x0=1.0, coupling=coupling,
-                               limit=config.limit)
+                               limit=config.limit,
+                               jump_sampler=config.jump_sampler)
     if isinstance(config, VGConfig):
         return VGModel(T=1.0, N=30, r=0.1, theta=-0.1, kappa=0.1, sigJ=0.2,
                        K=1.0, x0=1.0, coupling=coupling, pricer=config.pricer)
@@ -68,7 +69,11 @@ def _train_one(config, model, method: str, logger: Optional[MetricsLogger],
     solver = PricingSolver(
         model=model, scheme=scheme, hidden=config.hidden,
         activation=config.activation,
-        compensator=CompensatorSpec(kind=config.compensator, n_mc=config.n_mc),
+        compensator=CompensatorSpec(
+            kind=config.compensator, n_mc=config.n_mc,
+            n_poisson_max=config.n_poisson_max, n_hermite=config.n_hermite,
+            n_laguerre=config.n_laguerre),
+        compute_dtype=config.compute_dtype, sweep_impl=config.sweep_impl,
     )
     key = jax.random.key(config.seed)
     key, k_init = jax.random.split(key)

@@ -68,8 +68,24 @@ class MertonJumpModel:
     x0: float
     coupling: Callable[[jax.Array], jax.Array]
     limit: int = 30
+    # "series" evaluates the power series exactly per call (reference
+    # semantics); "table" precomputes the price curve per step on a fine
+    # log-moneyness grid and cubic-interpolates on device (same trick the VG
+    # model needs for its FFT pricer) — ~1e-6 accurate, markedly cheaper in
+    # the hot loop (2 ndtr per series term -> 4 gathers + a poly).
+    price_mode: str = "series"
+    # "exact" draws Poisson via jax.random.poisson (rejection-based);
+    # "icdf" inverts the CDF truncated at 1e-9 tail mass — cheaper on TPU
+    # (k_max compares on the VPU, no rejection loop), law equal to 1e-9.
+    jump_sampler: str = "exact"
+    table_points: int = 4097
+    table_log_m_max: float = 5.0
 
     def __post_init__(self):
+        if self.price_mode not in ("series", "table"):
+            raise ValueError(f"price_mode must be series|table, got {self.price_mode!r}")
+        if self.jump_sampler not in ("exact", "icdf"):
+            raise ValueError(f"jump_sampler must be exact|icdf, got {self.jump_sampler!r}")
         dt = self.T / self.N
         kbar = math.exp(self.muJ + 0.5 * self.sigJ**2) - 1.0
         lam2 = self.lam * (kbar + 1.0)
@@ -83,12 +99,42 @@ class MertonJumpModel:
         from scipy.special import gammaln
 
         log_coeff = -lam2 * tau + k * np.log(lam2 * tau) - gammaln(k + 1.0)
+        coeff = np.exp(log_coeff)
         object.__setattr__(self, "_dt", float(dt))
         object.__setattr__(self, "_kbar", float(kbar))
         object.__setattr__(self, "_tau", jnp.asarray(tau[:, 0], jnp.float32))
         object.__setattr__(self, "_r_bs", jnp.asarray(r_bs, jnp.float32))
         object.__setattr__(self, "_sig_bs", jnp.asarray(sig_bs, jnp.float32))
-        object.__setattr__(self, "_coeff", jnp.asarray(np.exp(log_coeff), jnp.float32))
+        object.__setattr__(self, "_coeff", jnp.asarray(coeff, jnp.float32))
+
+        if self.price_mode == "table":
+            # (N, G) price curves over log-moneyness, float64 host precompute.
+            from scipy.special import ndtr as ndtr64
+
+            g = np.linspace(-self.table_log_m_max, self.table_log_m_max,
+                            self.table_points)                 # (G,)
+            x = self.K * np.exp(g)                             # (G,)
+            sqrt_tau = np.sqrt(tau)                            # (N, 1)
+            d1 = (g[None, :, None] + (r_bs + 0.5 * sig_bs**2)[:, None, :]
+                  * tau[:, None, :]) / (sig_bs[:, None, :] * sqrt_tau[:, None, :])
+            d2 = d1 - (sig_bs * sqrt_tau)[:, None, :]
+            bs = (x[None, :, None] * ndtr64(d1)
+                  - self.K * np.exp(-r_bs * tau)[:, None, :] * ndtr64(d2))
+            table = np.einsum("ngl,nl->ng", bs, coeff)         # (N, G)
+            object.__setattr__(self, "_price_table",
+                               jnp.asarray(table, jnp.float32))
+            object.__setattr__(self, "_g0", float(g[0]))
+            object.__setattr__(self, "_dg", float(g[1] - g[0]))
+
+        if self.jump_sampler == "icdf":
+            # Truncated Poisson CDF: smallest k_max with tail mass <= 1e-9.
+            from scipy.stats import poisson as sp_poisson
+
+            lam_dt = self.lam * dt
+            k_max = int(sp_poisson.ppf(1.0 - 1e-9, lam_dt)) + 1
+            cdf = sp_poisson.cdf(np.arange(k_max), lam_dt)     # (k_max,)
+            object.__setattr__(self, "_poisson_cdf",
+                               jnp.asarray(cdf, jnp.float32))
 
     # ---- scalars -----------------------------------------------------------
     @property
@@ -108,7 +154,15 @@ class MertonJumpModel:
         """Compound-Poisson jump sum over one dt (pricingModels.py:57-61):
         J = dN*μJ + σJ*sqrt(dN)*N(0,1), dN ~ Poisson(λ dt)."""
         k_n, k_g = jax.random.split(key)
-        dn = jax.random.poisson(k_n, self.lam * self._dt, shape).astype(jnp.float32)
+        if self.jump_sampler == "icdf":
+            # dN = #{k : cdf_k < U}; k_max comparisons on the VPU beat the
+            # rejection loop of jax.random.poisson in the hot path.
+            u = jax.random.uniform(k_n, shape, jnp.float32)
+            dn = jnp.sum(u[..., None] > self._poisson_cdf, axis=-1,
+                         dtype=jnp.float32)
+        else:
+            dn = jax.random.poisson(k_n, self.lam * self._dt, shape).astype(
+                jnp.float32)
         z = jax.random.normal(k_g, shape, jnp.float32)
         return dn * self.muJ + self.sigJ * jnp.sqrt(dn) * z
 
@@ -127,6 +181,12 @@ class MertonJumpModel:
         ``i`` may be a traced int in [0, N); tables are gathered per step.
         For i == N the reference returns g(x); use :meth:`payoff` there.
         """
+        if self.price_mode == "table":
+            from deepfbsdejsolvers_tpu.ops.interp import uniform_interp_cubic
+
+            log_m = jnp.log(x / self.K)
+            return uniform_interp_cubic(self._price_table[i], log_m,
+                                        self._g0, self._dg)
         tau = self._tau[i]                          # ()
         r_bs = self._r_bs[i]                        # (limit,)
         sig_bs = self._sig_bs[i]                    # (limit,)
@@ -160,9 +220,12 @@ class MertonJumpModel:
         return jnp.asarray(nodes), jnp.asarray(weights)
 
 
-def make_merton_default(a_lin: float = 0.1, limit: int = 30) -> MertonJumpModel:
+def make_merton_default(a_lin: float = 0.1, limit: int = 30,
+                        price_mode: str = "series",
+                        jump_sampler: str = "exact") -> MertonJumpModel:
     """The mainMerton.py:57 default configuration."""
     return MertonJumpModel(
         T=1.0, N=50, r=0.1, muJ=0.0, sigJ=0.2, sigma=0.3, lam=3.0, K=0.9, x0=1.0,
-        coupling=abs_coupling(a_lin), limit=limit,
+        coupling=abs_coupling(a_lin), limit=limit, price_mode=price_mode,
+        jump_sampler=jump_sampler,
     )

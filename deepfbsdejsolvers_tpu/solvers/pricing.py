@@ -80,6 +80,15 @@ class PricingSolver:
     activation: str = "tanh"
     compensator: CompensatorSpec = CompensatorSpec()
     remat: bool = True
+    # Matmul compute dtype for the MLP heads (params/carry stay float32).
+    # "bfloat16" is the TPU speed path (~1.7x on the compensator sweep);
+    # None keeps full float32 (reference-parity accuracy).
+    compute_dtype: Optional[str] = None
+    # Compensator sweep implementation: "xla" (lowered by XLA, works
+    # everywhere) or "pallas" (the fused MXU kernel, ops/pallas_sweep.py —
+    # quadrature mode, 2-hidden-layer nets, unsharded, batch % 256 == 0;
+    # silently falls back to XLA when preconditions don't hold).
+    sweep_impl: str = "xla"
     # When set, the compensator node axis is sharded over this mesh axis: each
     # shard sweeps its node slice and the weighted partial sums are psum'd over
     # ICI.  The loss must then run inside shard_map on a mesh with this axis
@@ -107,6 +116,9 @@ class PricingSolver:
                 raise ValueError("n_mc must divide comp_shards")
         object.__setattr__(self, "_quad", (nodes, weights))
         object.__setattr__(self, "_act", get_activation(self.activation))
+        object.__setattr__(
+            self, "_compute_dtype",
+            jnp.dtype(self.compute_dtype) if self.compute_dtype else None)
 
     # ------------------------------------------------------------------ nets
     @property
@@ -151,7 +163,7 @@ class PricingSolver:
 
     # ------------------------------------------------------------- head evals
     def _apply(self, p, cols) -> jax.Array:
-        return mlp_apply(p, cols, self._act)
+        return mlp_apply(p, cols, self._act, compute_dtype=self._compute_dtype)
 
     def _uz(self, params, i, x):
         """U/Z head on [t=i, X] (SolversJumpDiff.py:36)."""
@@ -183,6 +195,47 @@ class PricingSolver:
         arg = xb * jnp.exp(jb) if self.jump_diff else xb + xb * jb
         return jnp.stack([t, arg], -1)
 
+    def _pallas_ok(self, params, batch: int) -> bool:
+        """Whether the fused Pallas sweep applies (see ``sweep_impl``)."""
+        if self.sweep_impl != "pallas" or self.comp_axis is not None:
+            return False
+        if self.compensator.kind != "quadrature" or batch % 256 != 0:
+            return False
+        head = params.get("gam") if (
+            "gam" in params and self.scheme not in ("multistep1", "sumlocal1")
+        ) else params["uz"]
+        ws = head["W"]
+        h = ws[0].shape[1]
+        return (len(ws) == 3 and ws[1].shape == (h, h)
+                and ws[2].shape[1] == 1 and h <= 128 and self.activation == "tanh")
+
+    def _pallas_compensator(self, params, i, x) -> jax.Array:
+        """Fused-MXU sweep (ops/pallas_sweep.py): packs P=128//H quadrature
+        nodes per MXU pass with rank-1 first layer and weight-folded output."""
+        from deepfbsdejsolvers_tpu.ops import pallas_sweep as ps
+
+        nodes, weights = self._quad
+        use_gam_net = "gam" in params and self.scheme not in (
+            "multistep1", "sumlocal1")
+        head = params["gam"] if use_gam_net else params["uz"]
+        h = head["W"][0].shape[1]
+        nodes_g, weights_g, _ = ps.group_nodes(nodes, weights, h)
+        t = jnp.asarray(i, jnp.float32)
+        if use_gam_net:
+            if not self.jump_diff:
+                feat_g, x_prop = nodes_g, True          # f = X·J (SolversPureJump.py:34)
+            elif self.scheme == "global":
+                feat_g, x_prop = nodes_g, False         # f = J (SolversJumpDiff.py:37)
+            else:
+                feat_g, x_prop = jnp.exp(nodes_g), False  # f = e^J (:173)
+            packed = ps.pack_three_feature(head, t, feat_g, x_prop, weights_g)
+        else:
+            phi_g = (jnp.exp(nodes_g) if self.jump_diff   # X·e^J (:99)
+                     else 1.0 + nodes_g)                  # X + X·J (SolversPureJump.py:95)
+            packed = ps.pack_two_feature(head, t, phi_g, weights_g)
+        a, c, w1b, b1b, v, wb2 = packed
+        return ps.fused_sweep(x, a, c, w1b, b1b, v) + wb2
+
     def _gamma_and_compensator(self, params, i, x, j, key_mc):
         """Γ(t, X, J) for the realized jump plus its compensator E_J'[Γ].
 
@@ -191,6 +244,13 @@ class PricingSolver:
         quadrature nodes.  Returns (gamma, compensator), both (B,)."""
         use_gam_net = "gam" in params and (self.scheme != "multistep1"
                                            and self.scheme != "sumlocal1")
+        if self._pallas_ok(params, x.shape[0]):
+            comp = self._pallas_compensator(params, i, x)
+            if use_gam_net:
+                gam = self._apply(params["gam"], self._gamma_inputs(i, x, j))[..., 0]
+            else:
+                gam = self._apply(params["uz"], self._unet_jump_inputs(i, x, j))[..., 0]
+            return gam, comp
         sharded = self.comp_axis is not None
         if self.compensator.kind == "mc":
             n = self.compensator.n_mc

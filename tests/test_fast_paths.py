@@ -1,0 +1,87 @@
+"""Tests for the TPU speed paths: table pricer, icdf Poisson sampler,
+reduced quadrature, bfloat16 compute.  Each fast path must agree with its
+reference-parity twin to well inside the 1e-3 Y0 gate (BASELINE.md)."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepfbsdejsolvers_tpu.models.merton import make_merton_default
+from deepfbsdejsolvers_tpu.ops.compensator import CompensatorSpec
+from deepfbsdejsolvers_tpu.solvers.pricing import PricingSolver
+
+
+def test_table_pricer_matches_series():
+    m_series = make_merton_default()
+    m_table = make_merton_default(price_mode="table")
+    xs = jnp.asarray(np.linspace(0.3, 3.0, 257), jnp.float32)
+    for i in (0, 10, 25, 49):
+        a = np.asarray(m_series.price(jnp.asarray(i), xs))
+        b = np.asarray(m_table.price(jnp.asarray(i), xs))
+        assert np.max(np.abs(a - b)) < 5e-5, i
+    assert m_table.price_at_origin() == pytest.approx(
+        m_series.price_at_origin(), abs=2e-5)
+
+
+def test_table_pricer_differentiable():
+    m = make_merton_default(price_mode="table")
+    g = jax.grad(lambda x: m.price(jnp.asarray(5), x[None])[0])(jnp.float32(1.0))
+    # delta of a call in (0, 1), roughly ndtr(d1)-ish here
+    assert 0.1 < float(g) < 1.5
+
+
+def test_icdf_sampler_matches_poisson_law(rng_key):
+    m = make_merton_default(jump_sampler="icdf")
+    j = np.asarray(m.sample_jumps(rng_key, (400_000,)))
+    lam_dt = 3.0 * m.dt
+    assert abs(j.mean() - 0.0) < 4e-4
+    assert abs(j.var() - lam_dt * 0.04) < 4e-4
+    assert abs((j == 0).mean() - math.exp(-lam_dt)) < 2e-3
+
+
+def test_reduced_quadrature_loss_agrees(rng_key):
+    """The (3,5) 16-node rule matches the (6,8) 49-node rule at the loss
+    level far below the 1e-3 gate (tail mass P(k>3 | lam*dt=0.06) ~ 1e-6)."""
+    m = make_merton_default()
+    losses = {}
+    for tag, spec in (("full", CompensatorSpec()),
+                      ("fast", CompensatorSpec(n_poisson_max=3, n_hermite=5))):
+        solver = PricingSolver(m, "global", compensator=spec)
+        params = solver.init_params(jax.random.key(0))
+        losses[tag] = float(jax.jit(solver.build_loss(4096))(params, rng_key))
+    assert losses["fast"] == pytest.approx(losses["full"], abs=2e-4)
+
+
+def test_bf16_compute_loss_agrees(rng_key):
+    m = make_merton_default()
+    losses = {}
+    for tag, dtype in (("f32", None), ("bf16", "bfloat16")):
+        solver = PricingSolver(m, "global", compute_dtype=dtype)
+        params = solver.init_params(jax.random.key(0))
+        losses[tag] = float(jax.jit(solver.build_loss(4096))(params, rng_key))
+    # bf16 matmuls in f32-accum: loss agrees to ~1e-3 relative
+    assert losses["bf16"] == pytest.approx(losses["f32"], rel=5e-3)
+
+
+def test_fast_config_trains(rng_key):
+    """End-to-end: the full speed stack (table pricer + icdf sampler + 16-node
+    quadrature + bf16) still reduces the loss and moves Y0 toward the oracle."""
+    from deepfbsdejsolvers_tpu.solvers.train import fit
+
+    m = make_merton_default(price_mode="table", jump_sampler="icdf")
+    solver = PricingSolver(
+        m, "global", compute_dtype="bfloat16",
+        compensator=CompensatorSpec(n_poisson_max=3, n_hermite=5))
+    params = solver.init_params(jax.random.key(0))
+    loss_eval = jax.jit(solver.build_loss(2048))
+    k_fixed = jax.random.key(9)
+    before = float(loss_eval(params, k_fixed))
+    res = fit(loss_fn=solver.build_loss(256), params=params,
+              key=rng_key, lrate=5e-3, num_epoch=30, num_epoch_ext=2,
+              y0_fn=solver.y0_estimate, verbose=False)
+    after = float(loss_eval(res.params, k_fixed))
+    assert after < before
+    assert np.isfinite(res.y0_history[-1])
