@@ -69,21 +69,25 @@ def measure(batch: int, inner: int, rounds: int, compensator: str,
         batch, compensator, parity)
     epoch = make_epoch_fn(loss_fn, optimizer, inner)
     key = jax.random.key(1)
-    # compile + warmup
-    params, opt_state, loss = epoch(params, opt_state, key)
-    jax.block_until_ready(loss)
-    t0 = time.perf_counter()
+    # compile + 2 warmup epochs (the first post-compile epoch runs ~2x slow
+    # one time — autotune/upload effects — and must not pollute the measure)
+    for w in range(2):
+        params, opt_state, loss = epoch(params, opt_state,
+                                        jax.random.fold_in(key, 1000 + w))
+        jax.block_until_ready(loss)
+    per_round = []
     for r in range(rounds):
+        t0 = time.perf_counter()
         params, opt_state, loss = epoch(params, opt_state,
                                         jax.random.fold_in(key, r))
-    jax.block_until_ready(loss)
-    elapsed = time.perf_counter() - t0
-    n_steps = inner * rounds
-    paths_steps = batch * model.N * n_steps
+        jax.block_until_ready(loss)
+        per_round.append(time.perf_counter() - t0)
+    med = sorted(per_round)[len(per_round) // 2]
+    paths_steps = batch * model.N * inner
     return {
-        "paths_steps_per_sec": paths_steps / elapsed,
-        "train_steps_per_sec": n_steps / elapsed,
-        "elapsed_s": elapsed,
+        "paths_steps_per_sec": paths_steps / med,
+        "train_steps_per_sec": inner / med,
+        "round_seconds": per_round,
         "final_loss": float(loss),
         "device": str(jax.devices()[0]),
     }

@@ -250,7 +250,7 @@ class PricingSolver:
                 gam = self._apply(params["gam"], self._gamma_inputs(i, x, j))[..., 0]
             else:
                 gam = self._apply(params["uz"], self._unet_jump_inputs(i, x, j))[..., 0]
-            return gam, comp
+            return self._name_heads(gam, comp)
         sharded = self.comp_axis is not None
         if self.compensator.kind == "mc":
             n = self.compensator.n_mc
@@ -280,7 +280,7 @@ class PricingSolver:
                 comp = jax.lax.pmean(comp, self.comp_axis)  # mean of MC shards
             else:
                 comp = jax.lax.psum(comp, self.comp_axis)   # weighted partials
-        return gam, comp
+        return self._name_heads(gam, comp)
 
     # ---------------------------------------------------------------- rollout
     def _draws(self, key, i, batch):
@@ -300,15 +300,31 @@ class PricingSolver:
             return self.model.step(i, x, dw, j, y)
         return self.model.step(i, x, j, y)
 
-    def _maybe_remat(self, body):
-        """Rematerialize the scan step for backprop.
+    @staticmethod
+    def _name_heads(gam, comp):
+        """Tag the jump heads for the remat policy (see ``_maybe_remat``)."""
+        from jax.ad_checkpoint import checkpoint_name
 
-        Without this, XLA must keep the [M, B, hidden] compensator-sweep
+        return checkpoint_name(gam, "gam"), checkpoint_name(comp, "comp")
+
+    def _maybe_remat(self, body):
+        """Rematerialize the scan step for backprop — selectively.
+
+        Without remat, XLA must keep the [M, B, hidden] compensator-sweep
         activations of EVERY timestep alive for the backward pass — at the
         reference's M=5000 that is O(N·M·B·H) HBM (tens of GB at production
         batch sizes; observed 4x6.9 GB OOM at N=30, B=512).  ``jax.checkpoint``
-        trades ~1 extra forward recompute for O(carry) memory per step."""
-        return jax.checkpoint(body) if self.remat else body
+        trades ~1 extra forward recompute for O(carry) memory per step.
+
+        The sweep outputs themselves are only (B,) per step, so they are
+        *saved* (``checkpoint_name`` + save_only policy): the backward pass
+        re-runs the cheap elementwise step math but NOT the expensive sweep
+        forward — its custom VJP recomputes what it needs tile-by-tile in
+        VMEM.  Measured ~25-30% off the train step at 2^17 paths."""
+        if not self.remat:
+            return body
+        policy = jax.checkpoint_policies.save_only_these_names("gam", "comp")
+        return jax.checkpoint(body, policy=policy)
 
     def build_loss(self, batch: int) -> Callable[[Params, jax.Array], jax.Array]:
         """Return the pure loss closure for a static batch size."""
