@@ -23,7 +23,7 @@ import sys
 import time
 
 
-def build(batch: int, compensator: str, parity: bool):
+def build(batch: int, compensator: str, parity: bool, model_name: str = "merton"):
     import jax
 
     from deepfbsdejsolvers_tpu.models.merton import make_merton_default
@@ -32,7 +32,31 @@ def build(batch: int, compensator: str, parity: bool):
     from deepfbsdejsolvers_tpu.solvers.train import make_adam
 
     on_tpu = jax.devices()[0].platform == "tpu"
-    if parity:
+    if model_name == "vg":
+        from deepfbsdejsolvers_tpu.models.variance_gamma import make_vg_default
+
+        model = make_vg_default()
+        solver = PricingSolver(
+            model, "global",
+            compensator=(CompensatorSpec(kind=compensator) if parity else
+                         CompensatorSpec(kind=compensator, n_hermite=5,
+                                         n_laguerre=8)),
+            compute_dtype=None if parity or not on_tpu else "bfloat16",
+            sweep_impl="pallas" if on_tpu and not parity else "xla")
+    elif model_name == "mfg":
+        from deepfbsdejsolvers_tpu.models.mfg_smart_grid import make_mfg_default
+        from deepfbsdejsolvers_tpu.solvers.mfg import MFGSolver
+
+        mfg_model = make_mfg_default()
+        mfg = MFGSolver(mfg_model, "global",
+                        compute_dtype=None if parity or not on_tpu
+                        else "bfloat16")
+        params = mfg.init_params(jax.random.key(0))
+        optimizer = make_adam(1e-3)
+        losses = mfg.build_losses(batch)
+        return (mfg_model, mfg, params, optimizer, optimizer.init(params),
+                losses["coupled"])
+    elif parity:
         # reference-faithful numerics: exact Poisson sampler, f32 heads,
         # XLA sweep over the default 49-node rule (or 5000-sample MC)
         model = make_merton_default()
@@ -60,13 +84,13 @@ def build(batch: int, compensator: str, parity: bool):
 
 
 def measure(batch: int, inner: int, rounds: int, compensator: str,
-            parity: bool = False) -> dict:
+            parity: bool = False, model_name: str = "merton") -> dict:
     import jax
 
     from deepfbsdejsolvers_tpu.solvers.train import make_epoch_fn
 
     model, solver, params, optimizer, opt_state, loss_fn = build(
-        batch, compensator, parity)
+        batch, compensator, parity, model_name)
     epoch = make_epoch_fn(loss_fn, optimizer, inner)
     key = jax.random.key(1)
     # compile + 2 warmup epochs (the first post-compile epoch runs ~2x slow
@@ -104,6 +128,10 @@ def main():
     p.add_argument("--rounds", type=int, default=3)
     p.add_argument("--compensator", choices=["quadrature", "mc"],
                    default="quadrature")
+    p.add_argument("--model", choices=["merton", "vg", "mfg"],
+                   default="merton",
+                   help="secondary workloads: VG pure-jump pricing (N=30) or "
+                        "the coupled MFG smart-grid system (N=96)")
     p.add_argument("--parity", action="store_true",
                    help="reference-faithful numerics (f32, exact sampler, "
                         "49-node/MC sweep) instead of the speed config")
@@ -130,16 +158,18 @@ def main():
         return
 
     res = measure(args.batch, args.inner, args.rounds, args.compensator,
-                  args.parity)
+                  args.parity, args.model)
     vs = None
-    if os.path.exists(ANCHOR_FILE):
+    if args.model == "merton" and os.path.exists(ANCHOR_FILE):
         with open(ANCHOR_FILE) as f:
             anchor = json.load(f)
         vs = res["paths_steps_per_sec"] / anchor["anchor_paths_steps_per_sec"]
+    n_steps = {"merton": 50, "vg": 30, "mfg": 96}[args.model]
     print(json.dumps({
-        "metric": "merton_global_train_throughput",
+        "metric": f"{args.model}_global_train_throughput",
         "value": res["paths_steps_per_sec"],
-        "unit": "paths*steps/sec/chip (Merton N=50, batch 2^17)",
+        "unit": f"paths*steps/sec/chip ({args.model} N={n_steps}, "
+                f"batch 2^{args.batch.bit_length() - 1})",
         "vs_baseline": vs,
     }))
     print(f"# detail: {res}", file=sys.stderr)

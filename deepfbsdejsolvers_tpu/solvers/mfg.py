@@ -61,12 +61,19 @@ class MFGSolver:
     activation_hat: str = "tanh"
     activation: str = "tanh"
     remat: bool = True
+    # bfloat16 matmuls for the two heads (f32 params/carries) — TPU speed path
+    compute_dtype: str | None = None
 
     def __post_init__(self):
         if self.scheme not in MFG_SCHEMES:
             raise ValueError(f"scheme must be one of {MFG_SCHEMES}, got {self.scheme!r}")
         object.__setattr__(self, "_act_hat", get_activation(self.activation_hat))
         object.__setattr__(self, "_act", get_activation(self.activation))
+        import jax.numpy as _jnp
+
+        object.__setattr__(self, "_compute_dtype",
+                           _jnp.dtype(self.compute_dtype)
+                           if self.compute_dtype else None)
 
     # ---------------------------------------------------------------- nets
     def head_dims(self) -> Tuple[int, int]:
@@ -93,10 +100,11 @@ class MFGSolver:
 
     def _hat(self, params, state: MFGState) -> jax.Array:
         return mlp_apply(params["hat"], self.model.projected_features(state),
-                         self._act_hat)
+                         self._act_hat, compute_dtype=self._compute_dtype)
 
     def _full(self, params, state: MFGState) -> jax.Array:
-        return mlp_apply(params["full"], self.model.all_features(state), self._act)
+        return mlp_apply(params["full"], self.model.all_features(state),
+                         self._act, compute_dtype=self._compute_dtype)
 
     # ---------------------------------------------------------------- noise
     def _draws(self, key, i, batch, state):
