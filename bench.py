@@ -63,19 +63,19 @@ def build(batch: int, compensator: str, parity: bool, model_name: str = "merton"
         solver = PricingSolver(
             model, "global", compensator=CompensatorSpec(kind=compensator))
     else:
-        # speed config (accuracy-gated in tests/test_fast_paths.py and the
-        # convergence runs recorded in BASELINE.md): 16-node quadrature
-        # (tail mass < 1e-6 at lam*dt = 0.06), inverse-CDF Poisson sampling
-        # (law equal to 1e-9), bfloat16 head matmuls, fused Pallas sweep.
-        # Off-TPU (the CPU anchor) the same math runs through XLA in f32 —
-        # interpret-mode Pallas / CPU bf16 would be artificially slow.
+        # speed config (accuracy-gated in tests/test_chebyshev.py /
+        # test_fast_paths.py and the convergence runs in BASELINE.md):
+        # Chebyshev-collocated compensator (the sweep is 1-D and smooth in
+        # the spot — evaluate the FULL 49-node rule at 64 Chebyshev points,
+        # Clenshaw per path; |Y0 - oracle| = 4.3e-4), inverse-CDF Poisson
+        # sampling (law equal to 1e-9), bfloat16 head matmuls.
+        # Off-TPU (the CPU anchor) the same math runs in f32.
         model = make_merton_default(jump_sampler="icdf")
         solver = PricingSolver(
             model, "global",
-            compensator=CompensatorSpec(kind=compensator, n_poisson_max=3,
-                                        n_hermite=5),
-            compute_dtype="bfloat16" if on_tpu else None,
-            sweep_impl="pallas" if on_tpu else "xla")
+            compensator=CompensatorSpec(kind=compensator,
+                                        x_interp="chebyshev", n_cheb=64),
+            compute_dtype="bfloat16" if on_tpu else None)
     params = solver.init_params(jax.random.key(0))
     optimizer = make_adam(4e-4)
     opt_state = optimizer.init(params)

@@ -48,10 +48,21 @@ class CompensatorSpec:
     n_poisson_max: int = 6
     n_hermite: int = 8
     n_laguerre: int = 12
+    # How the node sweep is evaluated over the batch:
+    # "direct"    — every (node, path) pair gets a head evaluation (reference
+    #               semantics; O(M·B) per step).
+    # "chebyshev" — exploit that comp(x) = E_J[Γ(t,x,J)] is 1-D and smooth in
+    #               the spot: evaluate the exact sweep at n_cheb Chebyshev
+    #               points spanning the batch range, reconstruct per path by
+    #               Clenshaw (O(M·n_cheb + B·n_cheb); ops/chebyshev.py).
+    x_interp: str = "direct"
+    n_cheb: int = 32
 
     def __post_init__(self):
         if self.kind not in ("mc", "quadrature"):
             raise ValueError(f"unknown compensator kind {self.kind!r}")
+        if self.x_interp not in ("direct", "chebyshev"):
+            raise ValueError(f"unknown x_interp {self.x_interp!r}")
 
 
 def gauss_hermite(n: int):

@@ -231,7 +231,9 @@ def fused_sweep(x, a, c, w1b, b1b, v):
 
 
 def _tile(batch: int) -> int:
-    for tb in (1024, 512, 256, 128, 64, 32, 16, 8):
+    # 2048 rows x 128 lanes keeps fwd+bwd buffers inside the ~16MB VMEM
+    # budget and measured fastest end-to-end (4096 exceeds scoped vmem).
+    for tb in (2048, 1024, 512, 256, 128, 64, 32, 16, 8):
         if batch % tb == 0:
             return tb
     return batch

@@ -236,6 +236,21 @@ class PricingSolver:
         a, c, w1b, b1b, v, wb2 = packed
         return ps.fused_sweep(x, a, c, w1b, b1b, v) + wb2
 
+    def _sweep_comp_at(self, params, i, x_pts, nodes, weights,
+                       use_gam_net) -> jax.Array:
+        """Direct compensator values at arbitrary spot points ``x_pts``:
+        weighted node sweep of the Γ-head (the O(M·|x_pts|) primitive)."""
+        nodes_b = nodes[:, None]
+        if use_gam_net:
+            sweep = self._apply(
+                params["gam"], self._gamma_inputs(i, x_pts[None, :], nodes_b)
+            )[..., 0]
+        else:
+            sweep = self._apply(
+                params["uz"], self._unet_jump_inputs(i, x_pts[None, :], nodes_b)
+            )[..., 0]
+        return compensated_mean(sweep, weights)
+
     def _gamma_and_compensator(self, params, i, x, j, key_mc):
         """Γ(t, X, J) for the realized jump plus its compensator E_J'[Γ].
 
@@ -244,6 +259,26 @@ class PricingSolver:
         quadrature nodes.  Returns (gamma, compensator), both (B,)."""
         use_gam_net = "gam" in params and (self.scheme != "multistep1"
                                            and self.scheme != "sumlocal1")
+        if (self.compensator.x_interp == "chebyshev"
+                and self.comp_axis is None):
+            from deepfbsdejsolvers_tpu.ops.chebyshev import interp_1d
+
+            if self.compensator.kind == "mc":
+                nodes = self.model.sample_jumps(key_mc, (self.compensator.n_mc,))
+                weights = None
+            else:
+                nodes, weights = self._quad
+            comp = interp_1d(
+                lambda xn: self._sweep_comp_at(params, i, xn, nodes, weights,
+                                               use_gam_net),
+                x, self.compensator.n_cheb)
+            if use_gam_net:
+                gam = self._apply(params["gam"],
+                                  self._gamma_inputs(i, x, j))[..., 0]
+            else:
+                gam = self._apply(params["uz"],
+                                  self._unet_jump_inputs(i, x, j))[..., 0]
+            return self._name_heads(gam, comp)
         if self._pallas_ok(params, x.shape[0]):
             comp = self._pallas_compensator(params, i, x)
             if use_gam_net:
