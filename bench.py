@@ -65,17 +65,19 @@ def build(batch: int, compensator: str, parity: bool, model_name: str = "merton"
     else:
         # speed config (accuracy-gated in tests/test_chebyshev.py /
         # test_fast_paths.py and the convergence runs in BASELINE.md):
-        # Chebyshev-collocated compensator (the sweep is 1-D and smooth in
-        # the spot — evaluate the FULL 49-node rule at 64 Chebyshev points,
-        # Clenshaw per path; |Y0 - oracle| = 4.3e-4), inverse-CDF Poisson
-        # sampling (law equal to 1e-9), bfloat16 head matmuls.
-        # Off-TPU (the CPU anchor) the same math runs in f32.
-        model = make_merton_default(jump_sampler="icdf")
+        # Chebyshev-collocated compensator AND pricer (both are 1-D smooth
+        # functions of the spot — evaluate exactly at 64 Chebyshev points,
+        # Clenshaw per path) plus inverse-CDF Poisson sampling (law equal to
+        # 1e-9).  Full f32: |Y0 - oracle| = 1.2e-4 on the multistep gate.
+        # bfloat16 heads are deliberately NOT used — they bias the Y0
+        # readout ~3e-3 (out of gate) and no longer buy throughput once the
+        # sweep is collocated.
+        model = make_merton_default(jump_sampler="icdf",
+                                    price_mode="chebyshev")
         solver = PricingSolver(
             model, "global",
             compensator=CompensatorSpec(kind=compensator,
-                                        x_interp="chebyshev", n_cheb=64),
-            compute_dtype="bfloat16" if on_tpu else None)
+                                        x_interp="chebyshev", n_cheb=64))
     params = solver.init_params(jax.random.key(0))
     optimizer = make_adam(4e-4)
     opt_state = optimizer.init(params)

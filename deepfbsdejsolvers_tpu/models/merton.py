@@ -69,11 +69,14 @@ class MertonJumpModel:
     coupling: Callable[[jax.Array], jax.Array]
     limit: int = 30
     # "series" evaluates the power series exactly per call (reference
-    # semantics); "table" precomputes the price curve per step on a fine
-    # log-moneyness grid and cubic-interpolates on device (same trick the VG
-    # model needs for its FFT pricer) — ~1e-6 accurate, markedly cheaper in
-    # the hot loop (2 ndtr per series term -> 4 gathers + a poly).
+    # semantics).  "table" precomputes per-step price curves on a fine
+    # log-moneyness grid and cubic-interpolates (4 gathers/eval — measured
+    # gather-bound on TPU, kept for CPU/host use).  "chebyshev" evaluates the
+    # exact series at 64 Chebyshev points spanning the batch's spot range and
+    # reconstructs per path by Clenshaw — no gathers, ~1e-7 accurate (the
+    # series is analytic in x), ~1.8x end-to-end on TPU (BASELINE.md).
     price_mode: str = "series"
+    n_cheb_price: int = 64
     # "exact" draws Poisson via jax.random.poisson (rejection-based);
     # "icdf" inverts the CDF truncated at 1e-9 tail mass — cheaper on TPU
     # (k_max compares on the VPU, no rejection loop), law equal to 1e-9.
@@ -82,8 +85,9 @@ class MertonJumpModel:
     table_log_m_max: float = 5.0
 
     def __post_init__(self):
-        if self.price_mode not in ("series", "table"):
-            raise ValueError(f"price_mode must be series|table, got {self.price_mode!r}")
+        if self.price_mode not in ("series", "table", "chebyshev"):
+            raise ValueError(
+                f"price_mode must be series|table|chebyshev, got {self.price_mode!r}")
         if self.jump_sampler not in ("exact", "icdf"):
             raise ValueError(f"jump_sampler must be exact|icdf, got {self.jump_sampler!r}")
         dt = self.T / self.N
@@ -187,6 +191,18 @@ class MertonJumpModel:
             log_m = jnp.log(x / self.K)
             return uniform_interp_cubic(self._price_table[i], log_m,
                                         self._g0, self._dg)
+        if (self.price_mode == "chebyshev" and x.ndim == 1
+                and x.shape[0] >= 4 * self.n_cheb_price):
+            # Collocate the exact series on the batch's spot range; direct
+            # evaluation below stays the primitive (and the small-batch path).
+            from deepfbsdejsolvers_tpu.ops.chebyshev import interp_1d
+
+            return interp_1d(lambda xn: self._price_series(i, xn), x,
+                             self.n_cheb_price)
+        return self._price_series(i, x)
+
+    def _price_series(self, i: jax.Array, x: jax.Array) -> jax.Array:
+        """The exact `limit`-term power series (pricingModels.py:40-48)."""
         tau = self._tau[i]                          # ()
         r_bs = self._r_bs[i]                        # (limit,)
         sig_bs = self._sig_bs[i]                    # (limit,)

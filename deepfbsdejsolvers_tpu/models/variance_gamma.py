@@ -57,10 +57,19 @@ class VGModel:
     x0: float
     coupling: Callable[[jax.Array], jax.Array]
     pricer: str = "fft"
+    # "direct" interpolates the price table per path (4 gathers/eval);
+    # "chebyshev" collocates the table interpolant at 64 Chebyshev points over
+    # the batch's spot range and evaluates per path by Clenshaw — gathers drop
+    # from O(B) to O(64) per step (TPU gathers measured slower than ndtr).
+    price_eval: str = "direct"
+    n_cheb_price: int = 64
 
     def __post_init__(self):
         if self.pricer not in ("fft", "invfourier"):
             raise ValueError(f"pricer must be 'fft' or 'invfourier', got {self.pricer!r}")
+        if self.price_eval not in ("direct", "chebyshev"):
+            raise ValueError(
+                f"price_eval must be 'direct' or 'chebyshev', got {self.price_eval!r}")
         dt = self.T / self.N
         # Martingale drift correction of the jump part (pricingModels.py:141).
         correction = -math.log(1.0 - self.theta * self.kappa
@@ -145,6 +154,15 @@ class VGModel:
 
     # ---- pricers -----------------------------------------------------------------
     def price(self, i: jax.Array, x: jax.Array) -> jax.Array:
+        if (self.price_eval == "chebyshev" and x.ndim == 1
+                and x.shape[0] >= 4 * self.n_cheb_price):
+            from deepfbsdejsolvers_tpu.ops.chebyshev import interp_1d
+
+            return interp_1d(lambda xn: self._price_direct(i, xn), x,
+                             self.n_cheb_price)
+        return self._price_direct(i, x)
+
+    def _price_direct(self, i: jax.Array, x: jax.Array) -> jax.Array:
         if self.pricer == "fft":
             return self.price_fft(i, x)
         return self.price_invfourier(i, x)

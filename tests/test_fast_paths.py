@@ -26,6 +26,41 @@ def test_table_pricer_matches_series():
         m_series.price_at_origin(), abs=2e-5)
 
 
+def test_cheb_pricer_matches_series():
+    m_series = make_merton_default()
+    m_cheb = make_merton_default(price_mode="chebyshev")
+    xs = jnp.asarray(np.linspace(0.3, 3.0, 1024), jnp.float32)
+    # ~1e-6 away from expiry; the last step (tau = dt) develops the payoff
+    # kink at the strike and degrades to ~1.4e-4 — still 7x under the 1e-3
+    # Y0 gate, and it enters the drift only through aLin*|Y-A|*dt.
+    for i, tol in ((0, 1e-5), (25, 1e-5), (49, 5e-4)):
+        a = np.asarray(m_series.price(jnp.asarray(i), xs))
+        b = np.asarray(m_cheb.price(jnp.asarray(i), xs))
+        assert np.max(np.abs(a - b)) < tol, i
+    # small batches fall back to the exact series
+    small = jnp.asarray([1.0, 1.1], jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(m_cheb.price(jnp.asarray(5), small)),
+        np.asarray(m_series.price(jnp.asarray(5), small)), rtol=1e-6)
+
+
+def test_vg_cheb_price_eval_matches_direct():
+    from deepfbsdejsolvers_tpu.models.variance_gamma import make_vg_default
+
+    vg_d = make_vg_default()
+    vg_c = make_vg_default()
+    object.__setattr__(vg_c, "price_eval", "chebyshev")
+    xs = jnp.asarray(np.linspace(0.4, 2.5, 1024), jnp.float32)
+    # Pure-jump VG has almost no diffusion smoothing, so the payoff kink at
+    # the strike is sharp at tau = dt and collocation degrades to ~1.7e-3
+    # there (vs ~1.5e-5 elsewhere) — which is why price_eval stays "direct"
+    # by default for VG and "chebyshev" is an opt-in.
+    for i, tol in ((0, 5e-5), (15, 5e-5), (29, 3e-3)):
+        a = np.asarray(vg_d.price(jnp.asarray(i), xs))
+        b = np.asarray(vg_c.price(jnp.asarray(i), xs))
+        assert np.max(np.abs(a - b)) < tol, i
+
+
 def test_table_pricer_differentiable():
     m = make_merton_default(price_mode="table")
     g = jax.grad(lambda x: m.price(jnp.asarray(5), x[None])[0])(jnp.float32(1.0))
