@@ -86,3 +86,21 @@ def interp_1d(fn, x: jax.Array, n: int) -> jax.Array:
     nodes = cheb_nodes(x_lo, x_hi, n)
     coef = cheb_fit(fn(nodes))
     return cheb_eval(coef, x, x_lo, x_hi)
+
+
+def interp_1d_multi(fn, x: jax.Array, n: int) -> jax.Array:
+    """Like :func:`interp_1d` for a vector-valued ``fn``: (C,) -> (C, K).
+    Returns (B, K); Clenshaw runs on (B, K) carries — O(n*K) FMAs per path."""
+    x_lo = jax.lax.stop_gradient(jnp.min(x))
+    x_hi = jax.lax.stop_gradient(jnp.max(x))
+    nodes = cheb_nodes(x_lo, x_hi, n)
+    values = fn(nodes)                                       # (C, K)
+    F = jnp.asarray(_cheb_tables(n)[1])
+    coef = F @ values                                        # (C, K)
+    span = jnp.maximum(x_hi - x_lo, 1e-6)
+    u = jnp.clip((2.0 * x - (x_lo + x_hi)) / span, -1.0, 1.0)[:, None]  # (B,1)
+    b1 = jnp.zeros((x.shape[0], values.shape[-1]), values.dtype)
+    b2 = jnp.zeros_like(b1)
+    for j in range(n - 1, 0, -1):
+        b1, b2 = coef[j][None, :] + 2.0 * u * b1 - b2, b1
+    return coef[0][None, :] + u * b1 - b2

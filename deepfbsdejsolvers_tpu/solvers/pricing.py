@@ -89,6 +89,16 @@ class PricingSolver:
     # quadrature mode, 2-hidden-layer nets, unsharded, batch % 256 == 0;
     # silently falls back to XLA when preconditions don't hold).
     sweep_impl: str = "xla"
+    # "chebyshev" collocates the Z head (a 1-D smooth function of the spot)
+    # at n_cheb_head points per step instead of evaluating the MLP per path.
+    # Applied ONLY to the global scheme, where the uz head outputs Z alone:
+    # Z multiplies the zero-mean dW, so collocation error cannot bias Y0.
+    # For the multistep/sumlocal families the same head carries the Y
+    # readout, where collocation measurably biases the 1e-3 gate
+    # (1.0-1.6e-3 vs 1.2e-4 direct — BASELINE.md) — those schemes ignore
+    # this flag.  Small batches fall back to direct evaluation.
+    head_interp: str = "direct"
+    n_cheb_head: int = 32
     # When set, the compensator node axis is sharded over this mesh axis: each
     # shard sweeps its node slice and the weighted partial sums are psum'd over
     # ICI.  The loss must then run inside shard_map on a mesh with this axis
@@ -166,7 +176,17 @@ class PricingSolver:
         return mlp_apply(p, cols, self._act, compute_dtype=self._compute_dtype)
 
     def _uz(self, params, i, x):
-        """U/Z head on [t=i, X] (SolversJumpDiff.py:36)."""
+        """U/Z head on [t=i, X] (SolversJumpDiff.py:36).  Optionally
+        Chebyshev-collocated over the batch's spot range (``head_interp``)."""
+        if (self.head_interp == "chebyshev" and self.scheme == "global"
+                and x.ndim == 1 and x.shape[0] >= 4 * self.n_cheb_head):
+            from deepfbsdejsolvers_tpu.ops.chebyshev import interp_1d_multi
+
+            return interp_1d_multi(
+                lambda xn: self._uz_direct(params, i, xn), x, self.n_cheb_head)
+        return self._uz_direct(params, i, x)
+
+    def _uz_direct(self, params, i, x):
         t = jnp.broadcast_to(jnp.asarray(i, x.dtype), x.shape)
         return self._apply(params["uz"], jnp.stack([t, x], -1))
 
