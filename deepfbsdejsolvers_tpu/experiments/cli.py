@@ -79,8 +79,10 @@ def _add_pricing_flags(p: argparse.ArgumentParser, lr_y0, lr_loc, lr_reg,
 def _pricing_common(args) -> dict:
     fast = {}
     if args.fast:
-        fast = dict(n_poisson_max=3, n_hermite=5, compute_dtype="bfloat16",
-                    sweep_impl="pallas", jump_sampler="icdf")
+        # the accuracy-gated speed preset (BASELINE.md): Chebyshev-collocated
+        # compensator (full node rule) + icdf Poisson sampling, full f32
+        fast = dict(x_interp="chebyshev", n_cheb=64, jump_sampler="icdf",
+                    price_mode="chebyshev")
     return dict(
         nb_neuron=args.nbNeuron, nb_layer=args.nbLayer,
         n_epoch_ext=args.nEpochExt, n_epoch=args.nEpoch,

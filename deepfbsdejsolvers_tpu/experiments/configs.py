@@ -70,12 +70,15 @@ class PricingConfigBase:
     methods: Sequence[str] = PRICING_METHODS
     compensator: str = "quadrature"   # "quadrature" | "mc" (reference = mc 5000)
     n_mc: int = 5000
-    n_poisson_max: int = 6            # quadrature sizing (Merton); (3, 5) is
-    n_hermite: int = 8                # the accuracy-gated fast preset
+    n_poisson_max: int = 6            # quadrature sizing (Merton)
+    n_hermite: int = 8
     n_laguerre: int = 12              # quadrature sizing (VG)
-    compute_dtype: Optional[str] = None   # "bfloat16" = TPU speed path
+    compute_dtype: Optional[str] = None   # "bfloat16" (biases Y0 ~3e-3 — see BASELINE.md)
     sweep_impl: str = "xla"           # "pallas" = fused MXU compensator kernel
     jump_sampler: str = "exact"       # "icdf" = truncated inverse-CDF Poisson
+    x_interp: str = "direct"          # "chebyshev" = collocated compensator
+    n_cheb: int = 64
+    price_mode: str = "series"        # Merton: "chebyshev" = collocated pricer
     seed: int = 0
     io: RunIO = dataclasses.field(default_factory=RunIO)
 

@@ -36,10 +36,15 @@ def build_model(config):
         return MertonJumpModel(T=1.0, N=50, r=0.1, muJ=0.0, sigJ=0.2, sigma=0.3,
                                lam=3.0, K=0.9, x0=1.0, coupling=coupling,
                                limit=config.limit,
-                               jump_sampler=config.jump_sampler)
+                               jump_sampler=config.jump_sampler,
+                               price_mode=config.price_mode)
     if isinstance(config, VGConfig):
+        # VG keeps direct price evaluation ("chebyshev" price_mode maps to
+        # its price_eval knob; the near-expiry kink caveat is in the model)
         return VGModel(T=1.0, N=30, r=0.1, theta=-0.1, kappa=0.1, sigJ=0.2,
-                       K=1.0, x0=1.0, coupling=coupling, pricer=config.pricer)
+                       K=1.0, x0=1.0, coupling=coupling, pricer=config.pricer,
+                       price_eval="chebyshev" if config.price_mode == "chebyshev"
+                       else "direct")
     raise TypeError(f"unknown pricing config type {type(config).__name__}")
 
 
@@ -72,7 +77,8 @@ def _train_one(config, model, method: str, logger: Optional[MetricsLogger],
         compensator=CompensatorSpec(
             kind=config.compensator, n_mc=config.n_mc,
             n_poisson_max=config.n_poisson_max, n_hermite=config.n_hermite,
-            n_laguerre=config.n_laguerre),
+            n_laguerre=config.n_laguerre, x_interp=config.x_interp,
+            n_cheb=config.n_cheb),
         compute_dtype=config.compute_dtype, sweep_impl=config.sweep_impl,
     )
     key = jax.random.key(config.seed)

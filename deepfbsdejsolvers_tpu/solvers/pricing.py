@@ -99,6 +99,18 @@ class PricingSolver:
     # this flag.  Small batches fall back to direct evaluation.
     head_interp: str = "direct"
     n_cheb_head: int = 32
+    # "chebyshev" collocates the realized-jump Γ evaluation: the 1-net
+    # schemes' Γ input is the 1-D composite X·e^J (/ X+X·J) — a plain 1-D
+    # interpolation; the 2-net schemes' Γ(t, X, J) is 2-D and uses a
+    # tensor-product grid (n_cheb_gamma_x x n_cheb_gamma_j shared
+    # evaluations + an O(nx*nj) two-stage Clenshaw per path).  Measured
+    # SLOWER than the direct head on TPU at 2^17 paths (198 vs 235 Mpps —
+    # the Clenshaw recurrence is a serial dependency chain, the MLP is
+    # matmul-parallel), so it stays off by default; collocation only pays
+    # for the *sweep*, where it removes an O(M) factor.
+    gamma_interp: str = "direct"
+    n_cheb_gamma_x: int = 32
+    n_cheb_gamma_j: int = 8
     # When set, the compensator node axis is sharded over this mesh axis: each
     # shard sweeps its node slice and the weighted partial sums are psum'd over
     # ICI.  The loss must then run inside shard_map on a mesh with this axis
@@ -271,6 +283,38 @@ class PricingSolver:
             )[..., 0]
         return compensated_mean(sweep, weights)
 
+    def _gamma_realized(self, params, i, x, j, use_gam_net) -> jax.Array:
+        """Γ at the realized jump — direct head evaluation or Chebyshev
+        collocation (``gamma_interp``): 1-D over the composite X·e^J / X+X·J
+        for the 1-net schemes, tensor-product 2-D over (X, J) for Γ-nets."""
+        cheb = (self.gamma_interp == "chebyshev" and x.ndim == 1
+                and x.shape[0] >= 4 * self.n_cheb_gamma_x)
+        if not cheb:
+            if use_gam_net:
+                return self._apply(params["gam"],
+                                   self._gamma_inputs(i, x, j))[..., 0]
+            return self._apply(params["uz"],
+                               self._unet_jump_inputs(i, x, j))[..., 0]
+        from deepfbsdejsolvers_tpu.ops.chebyshev import interp_1d, interp_2d
+
+        if not use_gam_net:
+            w = x * jnp.exp(j) if self.jump_diff else x + x * j
+            t = jnp.asarray(i, x.dtype)
+
+            def fn(wn):
+                tt = jnp.broadcast_to(t, wn.shape)
+                return self._apply(params["uz"],
+                                   jnp.stack([tt, wn], -1))[..., 0]
+
+            return interp_1d(fn, w, self.n_cheb_gamma_x)
+
+        def fn2(xa, jb):
+            return self._apply(
+                params["gam"],
+                self._gamma_inputs(i, xa[:, None], jb[None, :]))[..., 0]
+
+        return interp_2d(fn2, x, j, self.n_cheb_gamma_x, self.n_cheb_gamma_j)
+
     def _gamma_and_compensator(self, params, i, x, j, key_mc):
         """Γ(t, X, J) for the realized jump plus its compensator E_J'[Γ].
 
@@ -292,19 +336,11 @@ class PricingSolver:
                 lambda xn: self._sweep_comp_at(params, i, xn, nodes, weights,
                                                use_gam_net),
                 x, self.compensator.n_cheb)
-            if use_gam_net:
-                gam = self._apply(params["gam"],
-                                  self._gamma_inputs(i, x, j))[..., 0]
-            else:
-                gam = self._apply(params["uz"],
-                                  self._unet_jump_inputs(i, x, j))[..., 0]
+            gam = self._gamma_realized(params, i, x, j, use_gam_net)
             return self._name_heads(gam, comp)
         if self._pallas_ok(params, x.shape[0]):
             comp = self._pallas_compensator(params, i, x)
-            if use_gam_net:
-                gam = self._apply(params["gam"], self._gamma_inputs(i, x, j))[..., 0]
-            else:
-                gam = self._apply(params["uz"], self._unet_jump_inputs(i, x, j))[..., 0]
+            gam = self._gamma_realized(params, i, x, j, use_gam_net)
             return self._name_heads(gam, comp)
         sharded = self.comp_axis is not None
         if self.compensator.kind == "mc":
@@ -323,11 +359,10 @@ class PricingSolver:
                 nodes = jax.lax.dynamic_slice_in_dim(nodes, c * per, per)
                 weights = jax.lax.dynamic_slice_in_dim(weights, c * per, per)
         nodes_b = nodes[:, None]  # (M, 1) vs batch (B,)
+        gam = self._gamma_realized(params, i, x, j, use_gam_net)
         if use_gam_net:
-            gam = self._apply(params["gam"], self._gamma_inputs(i, x, j))[..., 0]
             sweep = self._apply(params["gam"], self._gamma_inputs(i, x[None, :], nodes_b))[..., 0]
         else:
-            gam = self._apply(params["uz"], self._unet_jump_inputs(i, x, j))[..., 0]
             sweep = self._apply(params["uz"], self._unet_jump_inputs(i, x[None, :], nodes_b))[..., 0]
         comp = compensated_mean(sweep, weights)
         if sharded:
