@@ -44,13 +44,17 @@ def build(batch: int, compensator: str, parity: bool, model_name: str = "merton"
             compute_dtype=None if parity or not on_tpu else "bfloat16",
             sweep_impl="pallas" if on_tpu and not parity else "xla")
     elif model_name == "mfg":
+        import dataclasses
+
         from deepfbsdejsolvers_tpu.models.mfg_smart_grid import make_mfg_default
         from deepfbsdejsolvers_tpu.solvers.mfg import MFGSolver
 
         mfg_model = make_mfg_default()
-        mfg = MFGSolver(mfg_model, "global",
-                        compute_dtype=None if parity or not on_tpu
-                        else "bfloat16")
+        if not parity:
+            # per-path Cox rates make jax.random.poisson's rejection loop the
+            # bottleneck (3x at 2^13, 11x at 2^17 with large batch)
+            mfg_model = dataclasses.replace(mfg_model, jump_sampler="icdf")
+        mfg = MFGSolver(mfg_model, "global")
         params = mfg.init_params(jax.random.key(0))
         optimizer = make_adam(1e-3)
         losses = mfg.build_losses(batch)

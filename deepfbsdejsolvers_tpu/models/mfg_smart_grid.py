@@ -92,6 +92,13 @@ class SmartGridMFGModel:
     alpha_target: float
     jump_model: str = "stochastic"   # 'stochastic' (Cox) | 'constant'
     coeff_equi: float = 1.0          # 1 = MFG, 2 = aggregate MFC
+    # "exact" uses jax.random.poisson (rejection loops — slow for the Cox
+    # case where every path has its own rate); "icdf" inverts the Poisson
+    # CDF via the pmf recurrence p_k = p_{k-1}·λdt/k truncated at
+    # ``icdf_k_max`` terms (tail mass < 1e-9 for λdt ≤ ~1, < 1e-6 at
+    # λdt = 0.5 with the default 12).
+    jump_sampler: str = "exact"
+    icdf_k_max: int = 12
 
     def __post_init__(self):
         q = np.asarray(self.q_aver, np.float64)
@@ -147,8 +154,20 @@ class SmartGridMFGModel:
 
     def sample_dN(self, key: jax.Array, state: MFGState) -> Tuple[jax.Array, jax.Array]:
         """dN ~ Poisson(λ dt) plus the analytic compensator λ dt
-        (MFGModel.py:54)."""
+        (MFGModel.py:54).  The Cox case has a per-path rate, where
+        jax.random.poisson's rejection loop is slow on TPU; the icdf sampler
+        inverts the per-path CDF with a static-depth pmf recurrence."""
         lam_dt = self.intensity(state) * self._dt
+        if self.jump_sampler == "icdf":
+            u = jax.random.uniform(key, lam_dt.shape, jnp.float32)
+            p = jnp.exp(-lam_dt)                 # P(N = 0)
+            cdf = p
+            dn = jnp.zeros_like(lam_dt)
+            for k in range(1, self.icdf_k_max + 1):
+                dn = dn + (u > cdf)              # one count per CDF level passed
+                p = p * lam_dt / k
+                cdf = cdf + p
+            return dn, lam_dt
         dn = jax.random.poisson(key, lam_dt).astype(jnp.float32)
         return dn, lam_dt
 

@@ -80,3 +80,23 @@ def test_quadrature_weights_normalized():
     spec = CompensatorSpec()
     for nodes, weights in (m.jump_quadrature(spec), vg.jump_quadrature(spec)):
         assert abs(float(jnp.sum(weights)) - 1.0) < 1e-6
+
+
+def test_mfg_icdf_cox_sampler_matches_exact_law(rng_key):
+    """The truncated inverse-CDF Cox sampler matches jax.random.poisson's
+    moments at a per-path rate large enough to exercise multiple counts."""
+    import dataclasses
+
+    from deepfbsdejsolvers_tpu.models.mfg_smart_grid import make_mfg_default
+
+    model = make_mfg_default(jump_factor=12.0, jump_model="constant")
+    model_icdf = dataclasses.replace(model, jump_sampler="icdf")
+    state = model.init_state(400_000)
+    d_exact, comp = model.sample_dN(rng_key, state)
+    d_icdf, comp2 = model_icdf.sample_dN(rng_key, state)
+    lam_dt = float(comp[0])
+    assert lam_dt > 0.1  # multiple-count regime
+    for d in (np.asarray(d_exact), np.asarray(d_icdf)):
+        assert abs(d.mean() - lam_dt) < 4e-3
+        assert abs(d.var() - lam_dt) < 8e-3
+    np.testing.assert_array_equal(np.asarray(comp), np.asarray(comp2))
