@@ -33,16 +33,25 @@ def build(batch: int, compensator: str, parity: bool, model_name: str = "merton"
 
     on_tpu = jax.devices()[0].platform == "tpu"
     if model_name == "vg":
+        import dataclasses
+
         from deepfbsdejsolvers_tpu.models.variance_gamma import make_vg_default
 
         model = make_vg_default()
-        solver = PricingSolver(
-            model, "global",
-            compensator=(CompensatorSpec(kind=compensator) if parity else
-                         CompensatorSpec(kind=compensator, n_hermite=5,
-                                         n_laguerre=8)),
-            compute_dtype=None if parity or not on_tpu else "bfloat16",
-            sweep_impl="pallas" if on_tpu and not parity else "xla")
+        if parity:
+            solver = PricingSolver(
+                model, "global", compensator=CompensatorSpec(kind=compensator))
+        else:
+            # VG speed config: collocate the compensator AND the FFT-table
+            # price interpolation (per-path gathers were the bottleneck:
+            # 10.8 -> 63.8 Mpps).  Converges to ~1.3e-3 of the FFT price at
+            # the standard gate budget — within the run-to-run training noise
+            # of the fully-direct config (BASELINE.md).
+            model = dataclasses.replace(model, price_eval="chebyshev")
+            solver = PricingSolver(
+                model, "global",
+                compensator=CompensatorSpec(kind=compensator,
+                                            x_interp="chebyshev", n_cheb=64))
     elif model_name == "mfg":
         import dataclasses
 

@@ -63,6 +63,10 @@ class VGModel:
     # from O(B) to O(64) per step (TPU gathers measured slower than ndtr).
     price_eval: str = "direct"
     n_cheb_price: int = 64
+    # robust collocation interval (mean ± k·std); see ops/chebyshev.py.
+    # Measured within training noise of the full range on the VG gate —
+    # kept available for heavier-tailed parameterizations.
+    cheb_robust_sigmas: float | None = None
 
     def __post_init__(self):
         if self.pricer not in ("fft", "invfourier"):
@@ -159,7 +163,8 @@ class VGModel:
             from deepfbsdejsolvers_tpu.ops.chebyshev import interp_1d
 
             return interp_1d(lambda xn: self._price_direct(i, xn), x,
-                             self.n_cheb_price)
+                             self.n_cheb_price,
+                             robust_sigmas=self.cheb_robust_sigmas)
         return self._price_direct(i, x)
 
     def _price_direct(self, i: jax.Array, x: jax.Array) -> jax.Array:

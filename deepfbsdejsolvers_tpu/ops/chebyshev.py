@@ -78,11 +78,25 @@ def cheb_eval(coef: jax.Array, x: jax.Array, x_lo: jax.Array,
     return coef[0] + u * b1 - b2
 
 
-def interp_1d(fn, x: jax.Array, n: int) -> jax.Array:
+def _range_of(x: jax.Array, robust_sigmas) -> tuple:
+    """Collocation interval: full [min, max], or mean ± k·std intersected with
+    it.  Heavy-tailed path distributions (e.g. gamma-subordinated VG) stretch
+    the raw range with outliers, wasting polynomial resolution where no mass
+    lives; the robust interval concentrates it (outliers are clamped to the
+    boundary by cheb_eval, where saturating tanh heads are ~flat)."""
+    x_lo, x_hi = jnp.min(x), jnp.max(x)
+    if robust_sigmas is not None:
+        mu, sd = jnp.mean(x), jnp.std(x)
+        x_lo = jnp.maximum(x_lo, mu - robust_sigmas * sd)
+        x_hi = jnp.minimum(x_hi, mu + robust_sigmas * sd)
+    return x_lo, x_hi
+
+
+def interp_1d(fn, x: jax.Array, n: int, robust_sigmas=None) -> jax.Array:
     """Approximate ``fn`` (vectorized, 1-D, smooth) on the range of ``x`` by a
     degree-(n-1) Chebyshev interpolant: calls ``fn`` on n points, evaluates
     everywhere in O(n) per path."""
-    x_lo, x_hi = jnp.min(x), jnp.max(x)
+    x_lo, x_hi = _range_of(x, robust_sigmas)
     nodes = cheb_nodes(x_lo, x_hi, n)
     coef = cheb_fit(fn(nodes))
     return cheb_eval(coef, x, x_lo, x_hi)

@@ -57,6 +57,10 @@ class CompensatorSpec:
     #               Clenshaw (O(M·n_cheb + B·n_cheb); ops/chebyshev.py).
     x_interp: str = "direct"
     n_cheb: int = 32
+    # Robust collocation interval (mean ± k·std) — None keeps the full
+    # [min, max] range; set ~8 for heavy-tailed path laws (VG) where
+    # outliers stretch the range and waste polynomial resolution.
+    cheb_robust_sigmas: float | None = None
 
     def __post_init__(self):
         if self.kind not in ("mc", "quadrature"):

@@ -335,7 +335,8 @@ class PricingSolver:
             comp = interp_1d(
                 lambda xn: self._sweep_comp_at(params, i, xn, nodes, weights,
                                                use_gam_net),
-                x, self.compensator.n_cheb)
+                x, self.compensator.n_cheb,
+                robust_sigmas=self.compensator.cheb_robust_sigmas)
             gam = self._gamma_realized(params, i, x, j, use_gam_net)
             return self._name_heads(gam, comp)
         if self._pallas_ok(params, x.shape[0]):
