@@ -72,12 +72,14 @@ def run_mfg_comparison(config: MFGComparisonConfig,
                                hidden_hat=config.hidden_hat, hidden=config.hidden,
                                activation_hat=config.activation_hat,
                                activation=config.activation)
+            mlog = logger.child(method=method) if logger else None
             res = solver.train(
                 key=jax.random.key(config.seed), batch=config.batch_size,
                 batch_val=config.batch_size * 10, num_epoch=config.n_epoch,
                 num_epoch_ext=config.n_epoch_ext,
                 lrate=config.lrate_for(method), couplage=config.couplage,
                 verbose=verbose,
+                on_epoch=(lambda i, m, s: mlog.log(epoch=i, **m)) if mlog else None,
             )
             results[method] = MFGMethodResult(
                 method=method, y0_hat_history=res.y0_hat_history,

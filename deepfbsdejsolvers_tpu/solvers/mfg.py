@@ -258,9 +258,10 @@ class MFGSolver:
 
     def train(self, key: jax.Array, batch: int, batch_val: int, num_epoch: int,
               num_epoch_ext: int, lrate: float, couplage: str = "ON",
-              verbose: bool = True):
+              verbose: bool = True, on_epoch=None):
         """Mirror of MFGSolvers .train(): returns (listY0_hat, listY0) plus the
-        trained params (reference keeps them implicitly in the Keras objects)."""
+        trained params (reference keeps them implicitly in the Keras objects).
+        ``on_epoch`` is forwarded to :func:`fit` (metrics/checkpoint hook)."""
         key, k_init = jax.random.split(key)
         params = self.init_params(k_init)
         pair_train = self.build_pair_loss(batch)
@@ -274,7 +275,7 @@ class MFGSolver:
                 params=params, key=key, lrate=lrate, num_epoch=num_epoch,
                 num_epoch_ext=num_epoch_ext,
                 val_loss_fn=lambda p, k: sum(pair_val(p, k)),
-                y0_fn=self.y0_estimates, verbose=verbose,
+                y0_fn=self.y0_estimates, verbose=verbose, on_epoch=on_epoch,
             )
             params = res.params
             hist_hat = [y[0] for y in res.y0_history]
@@ -294,7 +295,7 @@ class MFGSolver:
                            {"hat": p, "full": full_frozen}, k)[0],
                        y0_fn=lambda p: self.y0_estimates(
                            {"hat": p, "full": full_frozen})[0],
-                       verbose=verbose)
+                       verbose=verbose, on_epoch=on_epoch)
             params = {"hat": res1.params, "full": params["full"]}
             hat_frozen = params["hat"]
 
@@ -310,7 +311,7 @@ class MFGSolver:
                            {"hat": hat_frozen, "full": p}, k)[1],
                        y0_fn=lambda p: self.y0_estimates(
                            {"hat": hat_frozen, "full": p})[1],
-                       verbose=verbose)
+                       verbose=verbose, on_epoch=on_epoch)
             params = {"hat": hat_frozen, "full": res2.params}
             hist_hat = res1.y0_history
             hist_full = res2.y0_history

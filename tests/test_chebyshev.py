@@ -145,3 +145,23 @@ def test_cheb_compensator_matches_direct(rng_key):
     ld = float(jax.jit(sd.build_loss(2048))(params, rng_key))
     lc = float(jax.jit(sc.build_loss(2048))(params, rng_key))
     assert lc == pytest.approx(ld, rel=3e-3)
+
+
+def test_cheb_compensator_mc_mode(rng_key):
+    """Chebyshev collocation composes with the faithful MC compensator: the
+    same per-step node draw evaluated at 32 spot points matches the direct
+    [n_mc, B] sweep."""
+    m = make_merton_default()
+    mc = CompensatorSpec(kind="mc", n_mc=512)
+    mc_cheb = CompensatorSpec(kind="mc", n_mc=512, x_interp="chebyshev",
+                              n_cheb=32)
+    sd = PricingSolver(m, "global", compensator=mc)
+    sc = PricingSolver(m, "global", compensator=mc_cheb)
+    params = sd.init_params(jax.random.key(0))
+    x = jnp.abs(jax.random.normal(rng_key, (2048,)) * 0.25 + 1.0) + 0.05
+    j = m.sample_jumps(jax.random.fold_in(rng_key, 1), (2048,))
+    km = jax.random.fold_in(rng_key, 2)  # same key -> same MC node draw
+    _, cd = sd._gamma_and_compensator(params, 5, x, j, km)
+    _, cc = sc._gamma_and_compensator(params, 5, x, j, km)
+    assert float(jnp.max(jnp.abs(cd - cc))) < 5e-3
+    assert float(jnp.abs(jnp.mean(cd - cc))) < 2e-4
