@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from deepfbsdejsolvers_tpu.models.mfg_smart_grid import MFGState, SmartGridMFGModel
+from deepfbsdejsolvers_tpu.models.mfg_smart_grid import SmartGridMFGModel
 from deepfbsdejsolvers_tpu.solvers.mfg import MFGSolver
 
 

@@ -19,7 +19,6 @@ import os
 from typing import Dict, List
 
 import jax
-import numpy as np
 
 from deepfbsdejsolvers_tpu.experiments.configs import (
     MFG_METHOD_TO_SCHEME,
@@ -33,7 +32,6 @@ from deepfbsdejsolvers_tpu.eval.mfg_solutions import (
 )
 from deepfbsdejsolvers_tpu.models.mfg_smart_grid import (
     SmartGridMFGModel,
-    daily_profile,
     make_mfg_default,
 )
 from deepfbsdejsolvers_tpu.solvers.mfg import MFGSolver

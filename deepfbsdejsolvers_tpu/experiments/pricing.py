@@ -95,7 +95,6 @@ def _train_one(config, model, method: str, logger: Optional[MetricsLogger],
             latest = mgr.latest_step()
             if latest is not None:
                 from deepfbsdejsolvers_tpu.solvers.train import make_adam
-                from deepfbsdejsolvers_tpu.utils.checkpointing import restore_checkpoint
 
                 opt_example = make_adam(config.lrate_for(method)).init(params)
                 step, (params, opt_state, key) = mgr.restore_latest(

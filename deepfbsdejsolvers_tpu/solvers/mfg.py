@@ -41,7 +41,7 @@ import numpy as np
 
 from deepfbsdejsolvers_tpu.models.mfg_smart_grid import MFGState, SmartGridMFGModel
 from deepfbsdejsolvers_tpu.nets.mlp import MLPSpec, get_activation, init_mlp, mlp_apply
-from deepfbsdejsolvers_tpu.solvers.train import TrainResult, fit
+from deepfbsdejsolvers_tpu.solvers.train import fit
 
 MFG_SCHEMES = ("global", "multistep", "sumlocal", "sumlocal_reg", "multistep_reg")
 

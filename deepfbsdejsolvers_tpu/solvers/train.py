@@ -18,7 +18,6 @@ import time
 from typing import Any, Callable, List, Optional
 
 import jax
-import jax.numpy as jnp
 import optax
 
 
