@@ -79,6 +79,10 @@ class PricingConfigBase:
     x_interp: str = "direct"          # "chebyshev" = collocated compensator
     n_cheb: int = 64
     price_mode: str = "series"        # Merton: "chebyshev" = collocated pricer
+    # The reference trains the two Y-only regression schemes on 1000x the
+    # nominal batch inside the solver (SolversJumpDiff.py:435,503) — kept as
+    # an explicit config knob instead of a hidden multiplier.
+    reg_batch_multiplier: int = 1000
     seed: int = 0
     io: RunIO = dataclasses.field(default_factory=RunIO)
 

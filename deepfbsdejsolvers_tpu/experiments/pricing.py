@@ -107,8 +107,13 @@ def _train_one(config, model, method: str, logger: Optional[MetricsLogger],
         if mgr is not None and io.checkpoint_every and (i + 1) % io.checkpoint_every == 0:
             mgr.save(i, state)
 
+    # reference semantics: the Y-only regressions train on 1000x the nominal
+    # batch (SolversJumpDiff.py:435,503)
+    batch = config.batch_size * (
+        config.reg_batch_multiplier
+        if scheme in ("sumlocal_reg", "multistep_reg") else 1)
     res = fit(
-        loss_fn=solver.build_loss(config.batch_size),
+        loss_fn=solver.build_loss(batch),
         params=params, key=key, lrate=config.lrate_for(method),
         num_epoch=config.n_epoch, num_epoch_ext=config.n_epoch_ext,
         val_loss_fn=solver.build_loss(config.batch_size * 10),
