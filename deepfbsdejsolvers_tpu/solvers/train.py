@@ -46,7 +46,9 @@ def make_epoch_fn(loss_fn: Callable, optimizer: optax.GradientTransformation,
     """Jitted: (params, opt_state, key) -> (params, opt_state, mean_loss).
 
     Runs ``num_inner`` gradient steps on device; per-step keys are split from
-    the epoch key.  Buffers are donated so params update in place.
+    the epoch key.  Buffers are deliberately NOT donated: params here are
+    KB-sized MLPs (nothing to save) and callers legitimately reuse the
+    initial params across fits (warm restarts, resume tests).
     """
 
     def update(carry, key):
