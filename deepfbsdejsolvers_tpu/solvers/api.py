@@ -27,10 +27,13 @@ class _SolverFacade:
     def __init__(self, math_model, lrate: float, hidden=(21, 21),
                  activation: str = "tanh",
                  compensator: CompensatorSpec = CompensatorSpec(),
-                 seed: int = 0):
+                 seed: int = 0, **solver_kw):
+        """``solver_kw`` passes through to :class:`PricingSolver` (e.g.
+        ``sweep_impl="pallas"``, ``compute_dtype="bfloat16"``; the Chebyshev
+        collocation knobs live on ``compensator`` / the math model)."""
         self.core = PricingSolver(
             model=math_model, scheme=self.scheme, hidden=tuple(hidden),
-            activation=activation, compensator=compensator,
+            activation=activation, compensator=compensator, **solver_kw,
         )
         self.math_model = math_model
         self.lrate = lrate
