@@ -18,7 +18,7 @@ for FBSDEs with Jumps", Alasseur–Bensaid–Dumitrescu–Warin), re-designed TP
 See SURVEY.md for the layer map of the reference and the build plan.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 from deepfbsdejsolvers_tpu.models.merton import MertonJumpModel
 from deepfbsdejsolvers_tpu.models.variance_gamma import VGModel
