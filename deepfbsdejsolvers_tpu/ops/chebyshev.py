@@ -100,60 +100,3 @@ def interp_1d(fn, x: jax.Array, n: int, robust_sigmas=None) -> jax.Array:
     nodes = cheb_nodes(x_lo, x_hi, n)
     coef = cheb_fit(fn(nodes))
     return cheb_eval(coef, x, x_lo, x_hi)
-
-
-def interp_2d(fn, x: jax.Array, y: jax.Array, nx: int, ny: int) -> jax.Array:
-    """Tensor-product Chebyshev interpolation of a smooth 2-D function.
-
-    ``fn(x_nodes, y_nodes) -> (nx, ny)`` evaluates the exact function on the
-    collocation grid (O(nx*ny) shared evaluations); each path then pays an
-    O(nx*ny) two-stage Clenshaw — contract the y-direction first (ny steps of
-    (B, nx) carries), then the x-direction with per-path coefficient rows.
-    """
-    x_lo = jax.lax.stop_gradient(jnp.min(x))
-    x_hi = jax.lax.stop_gradient(jnp.max(x))
-    y_lo = jax.lax.stop_gradient(jnp.min(y))
-    y_hi = jax.lax.stop_gradient(jnp.max(y))
-    xn = cheb_nodes(x_lo, x_hi, nx)
-    yn = cheb_nodes(y_lo, y_hi, ny)
-    vals = fn(xn, yn)                                        # (nx, ny)
-    Fx = jnp.asarray(_cheb_tables(nx)[1])
-    Fy = jnp.asarray(_cheb_tables(ny)[1])
-    coef = Fx @ vals @ Fy.T                                  # (nx, ny)
-
-    sx = jnp.maximum(x_hi - x_lo, 1e-6)
-    sy = jnp.maximum(y_hi - y_lo, 1e-6)
-    ux = jnp.clip((2.0 * x - (x_lo + x_hi)) / sx, -1.0, 1.0)[:, None]  # (B,1)
-    uy = jnp.clip((2.0 * y - (y_lo + y_hi)) / sy, -1.0, 1.0)[:, None]
-
-    # stage 1: Clenshaw in y for every x-coefficient row -> (B, nx)
-    b1 = jnp.zeros((x.shape[0], nx), coef.dtype)
-    b2 = jnp.zeros_like(b1)
-    for j in range(ny - 1, 0, -1):
-        b1, b2 = coef[:, j][None, :] + 2.0 * uy * b1 - b2, b1
-    d = coef[:, 0][None, :] + uy * b1 - b2                   # (B, nx)
-    # stage 2: Clenshaw in x with per-path coefficients
-    c1 = jnp.zeros((x.shape[0],), coef.dtype)
-    c2 = jnp.zeros_like(c1)
-    ux1 = ux[:, 0]
-    for a in range(nx - 1, 0, -1):
-        c1, c2 = d[:, a] + 2.0 * ux1 * c1 - c2, c1
-    return d[:, 0] + ux1 * c1 - c2
-
-
-def interp_1d_multi(fn, x: jax.Array, n: int) -> jax.Array:
-    """Like :func:`interp_1d` for a vector-valued ``fn``: (C,) -> (C, K).
-    Returns (B, K); Clenshaw runs on (B, K) carries — O(n*K) FMAs per path."""
-    x_lo = jax.lax.stop_gradient(jnp.min(x))
-    x_hi = jax.lax.stop_gradient(jnp.max(x))
-    nodes = cheb_nodes(x_lo, x_hi, n)
-    values = fn(nodes)                                       # (C, K)
-    F = jnp.asarray(_cheb_tables(n)[1])
-    coef = F @ values                                        # (C, K)
-    span = jnp.maximum(x_hi - x_lo, 1e-6)
-    u = jnp.clip((2.0 * x - (x_lo + x_hi)) / span, -1.0, 1.0)[:, None]  # (B,1)
-    b1 = jnp.zeros((x.shape[0], values.shape[-1]), values.dtype)
-    b2 = jnp.zeros_like(b1)
-    for j in range(n - 1, 0, -1):
-        b1, b2 = coef[j][None, :] + 2.0 * u * b1 - b2, b1
-    return coef[0][None, :] + u * b1 - b2

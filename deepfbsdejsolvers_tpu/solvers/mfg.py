@@ -192,8 +192,10 @@ class MFGSolver:
             yf = model.g(state.S)
             fwd_hat = h_ys + _suffix_sum(adds_hat)
             fwd = ys + _suffix_sum(adds)
-            loss_hat = jnp.sum(jnp.mean(jnp.square(fwd_hat - yf_hat[None]), -1))
-            loss_full = jnp.sum(jnp.mean(jnp.square(fwd - yf[None]), -1))
+            # MEAN over steps, matching MFGSolvers.py:220-223 (the reduce_sum
+            # wraps an already-scalar double mean — see the pricing twin).
+            loss_hat = jnp.mean(jnp.square(fwd_hat - yf_hat[None]))
+            loss_full = jnp.mean(jnp.square(fwd - yf[None]))
             return loss_hat, loss_full
 
         return pair
@@ -258,12 +260,20 @@ class MFGSolver:
 
     def train(self, key: jax.Array, batch: int, batch_val: int, num_epoch: int,
               num_epoch_ext: int, lrate: float, couplage: str = "ON",
-              verbose: bool = True, on_epoch=None):
+              verbose: bool = True, on_epoch=None, mesh=None):
         """Mirror of MFGSolvers .train(): returns (listY0_hat, listY0) plus the
         trained params (reference keeps them implicitly in the Keras objects).
-        ``on_epoch`` is forwarded to :func:`fit` (metrics/checkpoint hook)."""
+        ``on_epoch`` is forwarded to :func:`fit` (metrics/checkpoint hook).
+        ``mesh`` switches to the SPMD data-parallel path: ``batch``/
+        ``batch_val`` stay the GLOBAL path counts, sharded over the mesh's
+        ``data`` axis (ceil per chip)."""
         key, k_init = jax.random.split(key)
         params = self.init_params(k_init)
+        if mesh is not None:
+            from deepfbsdejsolvers_tpu.parallel.data_parallel import per_shard_batch
+
+            batch = per_shard_batch(batch, mesh)
+            batch_val = per_shard_batch(batch_val, mesh)
         pair_train = self.build_pair_loss(batch)
         pair_val = self.build_pair_loss(batch_val)
 
@@ -276,6 +286,7 @@ class MFGSolver:
                 num_epoch_ext=num_epoch_ext,
                 val_loss_fn=lambda p, k: sum(pair_val(p, k)),
                 y0_fn=self.y0_estimates, verbose=verbose, on_epoch=on_epoch,
+                mesh=mesh,
             )
             params = res.params
             hist_hat = [y[0] for y in res.y0_history]
@@ -295,7 +306,7 @@ class MFGSolver:
                            {"hat": p, "full": full_frozen}, k)[0],
                        y0_fn=lambda p: self.y0_estimates(
                            {"hat": p, "full": full_frozen})[0],
-                       verbose=verbose, on_epoch=on_epoch)
+                       verbose=verbose, on_epoch=on_epoch, mesh=mesh)
             params = {"hat": res1.params, "full": params["full"]}
             hat_frozen = params["hat"]
 
@@ -311,7 +322,7 @@ class MFGSolver:
                            {"hat": hat_frozen, "full": p}, k)[1],
                        y0_fn=lambda p: self.y0_estimates(
                            {"hat": hat_frozen, "full": p})[1],
-                       verbose=verbose, on_epoch=on_epoch)
+                       verbose=verbose, on_epoch=on_epoch, mesh=mesh)
             params = {"hat": hat_frozen, "full": res2.params}
             hist_hat = res1.y0_history
             hist_full = res2.y0_history

@@ -18,9 +18,11 @@ an inner sweep over the jump law (ops/compensator.py).  Schemes differ in the
 loss and in how Γ is parametrized:
 
 * global        — trainable scalar Y0, terminal loss E(Y_N - g(X_N))².
-* multistep1/2  — forward-replication loss Σ_i E(Y_i + Σ_{j≥i} toAdd_j - g(X_N))²
+* multistep1/2  — forward-replication loss mean_i E(Y_i + Σ_{j≥i} toAdd_j - g(X_N))²
                   (equivalent to the reference's "add toAdd to every previous
-                  list entry" accumulation — a suffix sum).
+                  list entry" accumulation — a suffix sum; the reduction over
+                  steps is a MEAN: SolversJumpDiff.py:115's reduce_sum wraps an
+                  already-scalar double reduce_mean).
 * sumlocal1/2   — one-step residual loss Σ_i E(Y_{i+1} - Y_i + toAdd_i)².
 * *_reg         — pure regression on Y (no Z/Γ in the loss).
 * "1" variants reuse the U-net as Γ (Γ = U(t, X·e^J) jump-diff / U(t, X+X·J)
@@ -59,6 +61,9 @@ PRICING_SCHEMES = (
 
 Params = Dict[str, dict]
 
+# (scheme, reasons) pairs already warned about — see PricingSolver._pallas_ok.
+_PALLAS_FALLBACK_WARNED: set = set()
+
 
 def _suffix_sum(x: jax.Array) -> jax.Array:
     """S_i = sum_{j >= i} x_j along axis 0 (the multistep accumulation:
@@ -86,31 +91,17 @@ class PricingSolver:
     compute_dtype: Optional[str] = None
     # Compensator sweep implementation: "xla" (lowered by XLA, works
     # everywhere) or "pallas" (the fused MXU kernel, ops/pallas_sweep.py —
-    # quadrature mode, 2-hidden-layer nets, unsharded, batch % 256 == 0;
-    # silently falls back to XLA when preconditions don't hold).
+    # quadrature OR per-step MC nodes, any batch size (padded), 2-hidden-layer
+    # tanh nets, unsharded; warns once and falls back to XLA when a
+    # precondition fails).
     sweep_impl: str = "xla"
-    # "chebyshev" collocates the Z head (a 1-D smooth function of the spot)
-    # at n_cheb_head points per step instead of evaluating the MLP per path.
-    # Applied ONLY to the global scheme, where the uz head outputs Z alone:
-    # Z multiplies the zero-mean dW, so collocation error cannot bias Y0.
-    # For the multistep/sumlocal families the same head carries the Y
-    # readout, where collocation measurably biases the 1e-3 gate
-    # (1.0-1.6e-3 vs 1.2e-4 direct — BASELINE.md) — those schemes ignore
-    # this flag.  Small batches fall back to direct evaluation.
-    head_interp: str = "direct"
-    n_cheb_head: int = 32
-    # "chebyshev" collocates the realized-jump Γ evaluation: the 1-net
-    # schemes' Γ input is the 1-D composite X·e^J (/ X+X·J) — a plain 1-D
-    # interpolation; the 2-net schemes' Γ(t, X, J) is 2-D and uses a
-    # tensor-product grid (n_cheb_gamma_x x n_cheb_gamma_j shared
-    # evaluations + an O(nx*nj) two-stage Clenshaw per path).  Measured
-    # SLOWER than the direct head on TPU at 2^17 paths (198 vs 235 Mpps —
-    # the Clenshaw recurrence is a serial dependency chain, the MLP is
-    # matmul-parallel), so it stays off by default; collocation only pays
-    # for the *sweep*, where it removes an O(M) factor.
-    gamma_interp: str = "direct"
-    n_cheb_gamma_x: int = 32
-    n_cheb_gamma_j: int = 8
+    # NOTE (pruned knobs): round-1 also carried Chebyshev collocation of the
+    # Z head and of the realized-jump Γ evaluation.  Both were measured
+    # SLOWER than the direct heads on TPU at 2^17 paths (e.g. Γ collocation
+    # 198 vs 235 Mpps — the Clenshaw recurrence is a serial dependency chain
+    # while the MLP is matmul-parallel) and were removed; collocation only
+    # pays for the *sweep* (``compensator.x_interp``), where it removes an
+    # O(M) factor.
     # When set, the compensator node axis is sharded over this mesh axis: each
     # shard sweeps its node slice and the weighted partial sums are psum'd over
     # ICI.  The loss must then run inside shard_map on a mesh with this axis
@@ -135,7 +126,9 @@ class PricingSolver:
         else:
             nodes, weights = None, None
             if self.comp_axis is not None and self.compensator.n_mc % self.comp_shards:
-                raise ValueError("n_mc must divide comp_shards")
+                raise ValueError(
+                    f"comp_shards ({self.comp_shards}) must divide n_mc "
+                    f"({self.compensator.n_mc})")
         object.__setattr__(self, "_quad", (nodes, weights))
         object.__setattr__(self, "_act", get_activation(self.activation))
         object.__setattr__(
@@ -188,17 +181,7 @@ class PricingSolver:
         return mlp_apply(p, cols, self._act, compute_dtype=self._compute_dtype)
 
     def _uz(self, params, i, x):
-        """U/Z head on [t=i, X] (SolversJumpDiff.py:36).  Optionally
-        Chebyshev-collocated over the batch's spot range (``head_interp``)."""
-        if (self.head_interp == "chebyshev" and self.scheme == "global"
-                and x.ndim == 1 and x.shape[0] >= 4 * self.n_cheb_head):
-            from deepfbsdejsolvers_tpu.ops.chebyshev import interp_1d_multi
-
-            return interp_1d_multi(
-                lambda xn: self._uz_direct(params, i, xn), x, self.n_cheb_head)
-        return self._uz_direct(params, i, x)
-
-    def _uz_direct(self, params, i, x):
+        """U/Z head on [t=i, X] (SolversJumpDiff.py:36)."""
         t = jnp.broadcast_to(jnp.asarray(i, x.dtype), x.shape)
         return self._apply(params["uz"], jnp.stack([t, x], -1))
 
@@ -228,25 +211,52 @@ class PricingSolver:
         return jnp.stack([t, arg], -1)
 
     def _pallas_ok(self, params, batch: int) -> bool:
-        """Whether the fused Pallas sweep applies (see ``sweep_impl``)."""
-        if self.sweep_impl != "pallas" or self.comp_axis is not None:
+        """Whether the fused Pallas sweep applies (see ``sweep_impl``).
+
+        A failed precondition falls back to the XLA sweep LOUDLY — one warning
+        per (solver, reason) naming what disqualified the kernel."""
+        if self.sweep_impl != "pallas":
             return False
-        if self.compensator.kind != "quadrature" or batch % 256 != 0:
-            return False
+        reasons = []
+        if self.comp_axis is not None:
+            reasons.append("compensator-axis sharding is enabled")
         head = params.get("gam") if (
             "gam" in params and self.scheme not in ("multistep1", "sumlocal1")
         ) else params["uz"]
         ws = head["W"]
         h = ws[0].shape[1]
-        return (len(ws) == 3 and ws[1].shape == (h, h)
-                and ws[2].shape[1] == 1 and h <= 128 and self.activation == "tanh")
+        if not (len(ws) == 3 and ws[1].shape == (h, h)
+                and ws[2].shape[1] == 1 and h <= 128):
+            reasons.append(
+                "head must have exactly 2 equal hidden layers <= 128 wide "
+                f"and 1 output (got widths {[w.shape for w in ws]})")
+        if self.activation != "tanh":
+            reasons.append(f"activation {self.activation!r} != 'tanh'")
+        if reasons:
+            import warnings
 
-    def _pallas_compensator(self, params, i, x) -> jax.Array:
-        """Fused-MXU sweep (ops/pallas_sweep.py): packs P=128//H quadrature
-        nodes per MXU pass with rank-1 first layer and weight-folded output."""
+            key = (self.scheme, tuple(reasons))
+            if key not in _PALLAS_FALLBACK_WARNED:
+                _PALLAS_FALLBACK_WARNED.add(key)
+                warnings.warn(
+                    "sweep_impl='pallas' requested but falling back to the "
+                    "XLA sweep: " + "; ".join(reasons), stacklevel=3)
+            return False
+        return True
+
+    def _pallas_compensator(self, params, i, x, key_mc) -> jax.Array:
+        """Fused-MXU sweep (ops/pallas_sweep.py): packs P=128//H nodes per MXU
+        pass with rank-1 first layer and weight-folded output.  Works for both
+        the static quadrature rule and the reference-exact per-step MC node
+        draw (uniform weights; large node sets run a fori_loop over groups)."""
         from deepfbsdejsolvers_tpu.ops import pallas_sweep as ps
 
-        nodes, weights = self._quad
+        if self.compensator.kind == "mc":
+            n = self.compensator.n_mc
+            nodes = self.model.sample_jumps(key_mc, (n,))
+            weights = jnp.full((n,), 1.0 / n, jnp.float32)
+        else:
+            nodes, weights = self._quad
         use_gam_net = "gam" in params and self.scheme not in (
             "multistep1", "sumlocal1")
         head = params["gam"] if use_gam_net else params["uz"]
@@ -268,6 +278,60 @@ class PricingSolver:
         a, c, w1b, b1b, v, wb2 = packed
         return ps.fused_sweep(x, a, c, w1b, b1b, v) + wb2
 
+    def _resolve_node_block(self, n_nodes: int, batch: int) -> Optional[int]:
+        """Effective node-axis chunk size (CompensatorSpec.node_block): auto
+        keeps one block's [block, B, H] activations ~1 GB and is a no-op for
+        small sweeps."""
+        block = self.compensator.node_block
+        if block is None:                       # auto
+            block = max(1, (1 << 24) // max(batch, 1))
+        if block <= 0 or block >= n_nodes:
+            return None
+        return int(block)
+
+    def _sweep_values(self, params, i, x_row, nodes_col, use_gam_net):
+        """Raw Γ-head sweep values on the (node, path) product grid."""
+        if use_gam_net:
+            return self._apply(
+                params["gam"], self._gamma_inputs(i, x_row, nodes_col))[..., 0]
+        return self._apply(
+            params["uz"], self._unet_jump_inputs(i, x_row, nodes_col))[..., 0]
+
+    def _sweep_mean(self, params, i, x, nodes, weights, use_gam_net) -> jax.Array:
+        """Weighted node sweep E_J[Γ(t, x, J)] over the batch — the direct
+        O(M·B) primitive (SolversJumpDiff.py:38-39), chunked over the node
+        axis when the [M, B, H] activations would not fit HBM.
+
+        Chunking computes per-block weighted partial sums under ``lax.map``
+        with rematerialized blocks: the backward pass replays one block at a
+        time, so peak memory is O(block·B) instead of O(M·B) and the
+        reference-exact MC-5000 semantics run at the 2^17 headline batch."""
+        m = int(nodes.shape[0])
+        block = self._resolve_node_block(m, int(x.shape[0]))
+        if block is None:
+            sweep = self._sweep_values(params, i, x[None, :], nodes[:, None],
+                                       use_gam_net)
+            return compensated_mean(sweep, weights)
+        n_blocks = -(-m // block)
+        pad = n_blocks * block - m
+        # Uniform MC weights become explicit so zero-weight padding is exact.
+        w = (jnp.full((m,), 1.0 / m, jnp.float32) if weights is None
+             else weights)
+        if pad:
+            nodes = jnp.pad(nodes, (0, pad))
+            w = jnp.pad(w, (0, pad))
+        nodes_r = nodes.reshape(n_blocks, block)
+        w_r = w.reshape(n_blocks, block)
+
+        def blk(args):
+            nd, wt = args
+            sweep = self._sweep_values(params, i, x[None, :], nd[:, None],
+                                       use_gam_net)
+            return jnp.sum(wt[:, None] * sweep.astype(jnp.float32), axis=0)
+
+        partials = jax.lax.map(jax.checkpoint(blk), (nodes_r, w_r))
+        return jnp.sum(partials, axis=0)
+
     def _sweep_comp_at(self, params, i, x_pts, nodes, weights,
                        use_gam_net) -> jax.Array:
         """Direct compensator values at arbitrary spot points ``x_pts``:
@@ -284,36 +348,12 @@ class PricingSolver:
         return compensated_mean(sweep, weights)
 
     def _gamma_realized(self, params, i, x, j, use_gam_net) -> jax.Array:
-        """Γ at the realized jump — direct head evaluation or Chebyshev
-        collocation (``gamma_interp``): 1-D over the composite X·e^J / X+X·J
-        for the 1-net schemes, tensor-product 2-D over (X, J) for Γ-nets."""
-        cheb = (self.gamma_interp == "chebyshev" and x.ndim == 1
-                and x.shape[0] >= 4 * self.n_cheb_gamma_x)
-        if not cheb:
-            if use_gam_net:
-                return self._apply(params["gam"],
-                                   self._gamma_inputs(i, x, j))[..., 0]
-            return self._apply(params["uz"],
-                               self._unet_jump_inputs(i, x, j))[..., 0]
-        from deepfbsdejsolvers_tpu.ops.chebyshev import interp_1d, interp_2d
-
-        if not use_gam_net:
-            w = x * jnp.exp(j) if self.jump_diff else x + x * j
-            t = jnp.asarray(i, x.dtype)
-
-            def fn(wn):
-                tt = jnp.broadcast_to(t, wn.shape)
-                return self._apply(params["uz"],
-                                   jnp.stack([tt, wn], -1))[..., 0]
-
-            return interp_1d(fn, w, self.n_cheb_gamma_x)
-
-        def fn2(xa, jb):
-            return self._apply(
-                params["gam"],
-                self._gamma_inputs(i, xa[:, None], jb[None, :]))[..., 0]
-
-        return interp_2d(fn2, x, j, self.n_cheb_gamma_x, self.n_cheb_gamma_j)
+        """Γ at the realized jump (direct head evaluation)."""
+        if use_gam_net:
+            return self._apply(params["gam"],
+                               self._gamma_inputs(i, x, j))[..., 0]
+        return self._apply(params["uz"],
+                           self._unet_jump_inputs(i, x, j))[..., 0]
 
     def _gamma_and_compensator(self, params, i, x, j, key_mc):
         """Γ(t, X, J) for the realized jump plus its compensator E_J'[Γ].
@@ -340,7 +380,7 @@ class PricingSolver:
             gam = self._gamma_realized(params, i, x, j, use_gam_net)
             return self._name_heads(gam, comp)
         if self._pallas_ok(params, x.shape[0]):
-            comp = self._pallas_compensator(params, i, x)
+            comp = self._pallas_compensator(params, i, x, key_mc)
             gam = self._gamma_realized(params, i, x, j, use_gam_net)
             return self._name_heads(gam, comp)
         sharded = self.comp_axis is not None
@@ -359,13 +399,8 @@ class PricingSolver:
                 c = jax.lax.axis_index(self.comp_axis)
                 nodes = jax.lax.dynamic_slice_in_dim(nodes, c * per, per)
                 weights = jax.lax.dynamic_slice_in_dim(weights, c * per, per)
-        nodes_b = nodes[:, None]  # (M, 1) vs batch (B,)
         gam = self._gamma_realized(params, i, x, j, use_gam_net)
-        if use_gam_net:
-            sweep = self._apply(params["gam"], self._gamma_inputs(i, x[None, :], nodes_b))[..., 0]
-        else:
-            sweep = self._apply(params["uz"], self._unet_jump_inputs(i, x[None, :], nodes_b))[..., 0]
-        comp = compensated_mean(sweep, weights)
+        comp = self._sweep_mean(params, i, x, nodes, weights, use_gam_net)
         if sharded:
             if weights is None:
                 comp = jax.lax.pmean(comp, self.comp_axis)  # mean of MC shards
@@ -470,7 +505,11 @@ class PricingSolver:
             x, (ys, adds) = jax.lax.scan(self._maybe_remat(body), x, jnp.arange(N))
             y_final = model.payoff(x)
             fwd = ys + _suffix_sum(adds)           # (N, B)
-            return jnp.sum(jnp.mean(jnp.square(fwd - y_final[None, :]), axis=-1))
+            # Reference reduction is MEAN over steps: the outer reduce_sum at
+            # SolversJumpDiff.py:115 acts on an already-scalar double mean
+            # (batch then steps) and is a no-op.  Sumlocal, by contrast,
+            # genuinely accumulates per-step means with `+` (:267).
+            return jnp.mean(jnp.square(fwd - y_final[None, :]))
 
         return loss
 

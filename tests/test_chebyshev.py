@@ -60,70 +60,6 @@ def test_gradients_flow():
     assert g == pytest.approx(float(g_ref), rel=1e-3)
 
 
-def test_interp_1d_multi_matches_per_column(rng_key):
-    from deepfbsdejsolvers_tpu.ops.chebyshev import interp_1d_multi
-
-    x = jnp.linspace(0.2, 2.5, 513)
-    f = lambda t: jnp.stack([jnp.tanh(t), jnp.exp(-t), t**2], -1)
-    got = interp_1d_multi(f, x, 16)
-    for k, col in enumerate((jnp.tanh(x), jnp.exp(-x), x**2)):
-        ref = interp_1d(lambda t, k=k: f(t)[..., k], x, 16)
-        np.testing.assert_allclose(np.asarray(got[:, k]), np.asarray(ref),
-                                   rtol=1e-5, atol=1e-5)
-        np.testing.assert_allclose(np.asarray(got[:, k]), np.asarray(col),
-                                   rtol=1e-3, atol=1e-4)
-
-
-def test_head_interp_matches_direct(rng_key):
-    m = make_merton_default()
-    sd = PricingSolver(m, "global")
-    sc = PricingSolver(m, "global", head_interp="chebyshev")
-    params = sd.init_params(jax.random.key(0))
-    x = jnp.abs(jax.random.normal(rng_key, (2048,)) * 0.25 + 1.0) + 0.05
-    a = np.asarray(sd._uz(params, 5, x))
-    b = np.asarray(sc._uz(params, 5, x))
-    assert np.max(np.abs(a - b)) < 1e-4
-    # tiny batches (the Y0 readout) bypass collocation entirely
-    x1 = m.init_x(1)
-    np.testing.assert_array_equal(np.asarray(sd._uz(params, 0, x1)),
-                                  np.asarray(sc._uz(params, 0, x1)))
-
-
-def test_interp_2d_accuracy():
-    from deepfbsdejsolvers_tpu.ops.chebyshev import interp_2d
-
-    key = jax.random.key(3)
-    x = jnp.abs(jax.random.normal(key, (1024,)) * 0.3 + 1.0) + 0.05
-    y = jax.random.normal(jax.random.fold_in(key, 1), (1024,)) * 0.2
-    f = lambda a, b: jnp.tanh(a) * jnp.exp(b) + 0.3 * a * b
-
-    def fn(xa, yb):
-        return f(xa[:, None], yb[None, :])
-
-    got = interp_2d(fn, x, y, 16, 8)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(f(x, y)),
-                               rtol=1e-4, atol=1e-4)
-
-
-@pytest.mark.parametrize("scheme,regime", [
-    ("global", "jd"), ("multistep2", "jd"), ("multistep1", "jd"),
-    ("global", "pj"), ("sumlocal1", "pj"),
-])
-def test_gamma_interp_matches_direct(scheme, regime, rng_key):
-    from deepfbsdejsolvers_tpu.models.variance_gamma import make_vg_default
-
-    model = make_merton_default() if regime == "jd" else make_vg_default()
-    sd = PricingSolver(model, scheme)
-    sc = PricingSolver(model, scheme, gamma_interp="chebyshev")
-    params = sd.init_params(jax.random.key(0))
-    use_gam = "gam" in params and scheme not in ("multistep1", "sumlocal1")
-    x = jnp.abs(jax.random.normal(rng_key, (2048,)) * 0.25 + 1.0) + 0.05
-    j = model.sample_jumps(jax.random.fold_in(rng_key, 1), (2048,))
-    a = np.asarray(sd._gamma_realized(params, 5, x, j, use_gam))
-    b = np.asarray(sc._gamma_realized(params, 5, x, j, use_gam))
-    assert np.max(np.abs(a - b)) < 5e-4, (scheme, regime)
-
-
 def test_cheb_compensator_matches_direct(rng_key):
     """End-to-end: the chebyshev compensator agrees with the direct sweep to
     well below the 1e-3 Y0 gate, per step and at the loss level."""
