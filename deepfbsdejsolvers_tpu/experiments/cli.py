@@ -43,6 +43,10 @@ def _add_io_flags(p: argparse.ArgumentParser):
                    help="capture a jax.profiler trace here")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--quiet", action="store_true")
+    p.add_argument("--debugNans", action="store_true",
+                   help="enable the jax_debug_nans guard: raise at the exact "
+                        "primitive that produces a NaN (slows training; "
+                        "utils/debug.py)")
 
 
 def _io_from_args(args) -> RunIO:
@@ -70,10 +74,24 @@ def _add_pricing_flags(p: argparse.ArgumentParser, lr_y0, lr_loc, lr_reg,
                    choices=["quadrature", "mc"],
                    help="inner jump-expectation mode (reference = mc 5000)")
     p.add_argument("--nMC", type=int, default=5000)
+    p.add_argument("--sweepImpl", type=str, default="xla",
+                   choices=["xla", "pallas"],
+                   help="compensator sweep implementation; 'pallas' is the "
+                        "fused MXU kernel (TPU, fastest direct-sweep path: "
+                        "2.6x on quadrature, 4.5x on MC-5000)")
+    p.add_argument("--dataParallel", action="store_true",
+                   help="shard the path batch over all visible chips "
+                        "(1-D data mesh, gradient all-reduce over ICI); "
+                        "batchSize stays the global batch")
+    p.add_argument("--y0TailAvg", type=int, default=1,
+                   help="report Y0 as the mean over the last k outer epochs "
+                        "(1 = reference behavior)")
     p.add_argument("--fast", action="store_true",
-                   help="TPU speed preset: 16-node quadrature, icdf Poisson "
-                        "sampling, bfloat16 heads, fused Pallas sweep "
-                        "(accuracy-gated; see tests/test_fast_paths.py)")
+                   help="TPU speed preset (accuracy-gated, full f32): "
+                        "Chebyshev-collocated compensator (64 points, full "
+                        "node rule), Chebyshev-collocated closed-form pricer, "
+                        "inverse-CDF Poisson sampling. See BASELINE.md and "
+                        "tests/test_fast_paths.py")
 
 
 def _pricing_common(args) -> dict:
@@ -90,6 +108,8 @@ def _pricing_common(args) -> dict:
         lrate_loc=args.lRateLoc, lrate_reg=args.lRateReg,
         activation=args.activation, a_lin=args.aLin, methods=args.methods,
         compensator=args.compensator, n_mc=args.nMC, seed=args.seed,
+        sweep_impl=args.sweepImpl,
+        data_parallel=args.dataParallel, y0_tail_avg=args.y0TailAvg,
         io=_io_from_args(args), **fast,
     )
 
@@ -115,6 +135,8 @@ def _add_mfg_flags(p: argparse.ArgumentParser, defaults: MFGPoAConfig | MFGCompa
                    choices=["tanh", "relu", "sigmoid"])
     p.add_argument("--activation", type=str, default="tanh",
                    choices=["tanh", "relu", "sigmoid"])
+    p.add_argument("--dataParallel", action="store_true",
+                   help="shard the path batch over all visible chips")
 
 
 def _mfg_common(args) -> dict:
@@ -127,7 +149,8 @@ def _mfg_common(args) -> dict:
         lrate_y0=args.lRateY0, lrate_loc=args.lRateLoc,
         lrate_reg=args.lRateReg, couplage=args.couplage,
         jump_model=args.jumpModel, activation_hat=args.activation_hat,
-        activation=args.activation, seed=args.seed, io=_io_from_args(args),
+        activation=args.activation, data_parallel=args.dataParallel,
+        seed=args.seed, io=_io_from_args(args),
     )
 
 
@@ -177,6 +200,17 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     args = build_parser().parse_args(argv)
     verbose = not getattr(args, "quiet", False)
 
+    import contextlib
+
+    from deepfbsdejsolvers_tpu.utils.debug import nan_guard
+
+    guard = (nan_guard() if getattr(args, "debugNans", False)
+             else contextlib.nullcontext())
+    with guard:
+        return _dispatch(args, verbose)
+
+
+def _dispatch(args, verbose: bool) -> int:
     if args.cmd == "merton":
         from deepfbsdejsolvers_tpu.experiments.pricing import run_pricing
 
@@ -214,10 +248,21 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         res = run_mfg_poa(cfg, verbose=verbose)
         print(res.table().to_string(index=False))
     elif args.cmd == "bench":
+        import os
         import subprocess
 
+        # bench.py lives at the repo root, one level above the package —
+        # resolve it from the package location so the installed console
+        # script works from any cwd (it is not packaged by pyproject).
+        pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        bench = os.path.join(os.path.dirname(pkg_dir), "bench.py")
+        if not os.path.exists(bench):
+            print("bench.py not found next to the package — run from a "
+                  "source checkout (the benchmark script is not installed)",
+                  file=sys.stderr)
+            return 2
         return subprocess.call(
-            [sys.executable, "bench.py", "--batch", str(args.batch),
+            [sys.executable, bench, "--batch", str(args.batch),
              "--inner", str(args.inner), "--rounds", str(args.rounds)])
     return 0
 

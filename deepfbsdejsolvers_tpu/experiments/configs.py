@@ -83,6 +83,16 @@ class PricingConfigBase:
     # nominal batch inside the solver (SolversJumpDiff.py:435,503) — kept as
     # an explicit config knob instead of a hidden multiplier.
     reg_batch_multiplier: int = 1000
+    # Shard the path batch over all visible chips (1-D data mesh, gradient
+    # all-reduce over ICI).  batch_size stays the GLOBAL batch: each chip
+    # simulates ceil(batch/n_chips) paths.
+    data_parallel: bool = False
+    # Report Y0 as the mean of the last k outer-epoch estimates instead of
+    # the final one (Polyak-style readout).  The Global scheme's trainable
+    # Y0 random-walks around its optimum under SGD noise; averaging the
+    # trailing epochs removes most of that variance (see BASELINE.md gate
+    # study).  1 = reference behavior (last epoch).
+    y0_tail_avg: int = 1
     seed: int = 0
     io: RunIO = dataclasses.field(default_factory=RunIO)
 
@@ -135,6 +145,8 @@ class MFGConfigBase:
     jump_model: str = "stochastic"
     activation_hat: str = "tanh"
     activation: str = "tanh"
+    # Shard the path batch over all visible chips (see PricingConfigBase).
+    data_parallel: bool = False
     seed: int = 0
     io: RunIO = dataclasses.field(default_factory=RunIO)
 

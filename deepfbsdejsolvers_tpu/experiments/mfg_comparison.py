@@ -62,6 +62,14 @@ def run_mfg_comparison(config: MFGComparisonConfig,
         logger = MetricsLogger(os.path.join(io.outdir, "metrics.jsonl"),
                                tags={"experiment": "mfg_comparison"})
 
+    mesh = None
+    if config.data_parallel:
+        from deepfbsdejsolvers_tpu.parallel.data_parallel import make_mesh
+
+        mesh = make_mesh()
+        if verbose:
+            print(f"data-parallel over {mesh.shape['data']} device(s)")
+
     results: Dict[str, MFGMethodResult] = {}
     with trace_profile(io.profile_dir):
         for method in config.methods:
@@ -80,6 +88,7 @@ def run_mfg_comparison(config: MFGComparisonConfig,
                 lrate=config.lrate_for(method), couplage=config.couplage,
                 verbose=verbose,
                 on_epoch=(lambda i, m, s: mlog.log(epoch=i, **m)) if mlog else None,
+                mesh=mesh,
             )
             results[method] = MFGMethodResult(
                 method=method, y0_hat_history=res.y0_hat_history,

@@ -95,6 +95,13 @@ def run_mfg_poa(config: MFGPoAConfig, verbose: bool = True) -> PoARunResult:
                                      n_players=2)
 
     scheme = MFG_METHOD_TO_SCHEME[config.method]
+    mesh = None
+    if config.data_parallel:
+        from deepfbsdejsolvers_tpu.parallel.data_parallel import make_mesh
+
+        mesh = make_mesh()
+        if verbose:
+            print(f"data-parallel over {mesh.shape['data']} device(s)")
     cells: List[PoACell] = []
     with trace_profile(io.profile_dir):
         for i_case, (case, (p0, p1, f0, f1)) in enumerate(config.cases.items()):
@@ -119,7 +126,7 @@ def run_mfg_poa(config: MFGPoAConfig, verbose: bool = True) -> PoARunResult:
                         num_epoch=config.n_epoch,
                         num_epoch_ext=config.n_epoch_ext,
                         lrate=config.lrate_for(config.method),
-                        couplage=config.couplage, verbose=verbose)
+                        couplage=config.couplage, verbose=verbose, mesh=mesh)
                     for player, dw in enumerate(dws):
                         evaluators[f"{tag}_p{player + 1}"] = (
                             MFGFixedTrajectoryEvaluator(
@@ -146,15 +153,40 @@ def run_mfg_poa(config: MFGPoAConfig, verbose: bool = True) -> PoARunResult:
     if io.outdir:
         result.table().to_csv(os.path.join(io.outdir, "poa_table.csv"), index=False)
         if io.save_plots:
-            _plot_pdf(config, result)
+            pretrain = _pretrain_evaluators(config, noise_model, scheme, key,
+                                            dw0, dws, dn)
+            _plot_pdf(config, result, pretrain)
     if logger:
         logger.close()
     return result
 
 
-def _plot_pdf(config: MFGPoAConfig, result: PoARunResult):
-    """Multi-page PDF: consumption / deviation / price panels per sweep point
-    plus the PoA-vs-π curves (mainMFGPoA.py:252-335,362-375 intended output)."""
+def _pretrain_evaluators(config: MFGPoAConfig, noise_model, scheme, key,
+                         dw0, dws, dn):
+    """Untrained-policy replays on the frozen noise — the reference's
+    pre-training diagnostic stage (mainMFGPoA.py:139-186): both players run a
+    FRESH-initialized network pair through the zero-price model so the raw
+    consumption/intensity/jump dynamics are visible before any learning."""
+    solver0 = MFGSolver(model=noise_model, scheme=scheme,
+                        hidden_hat=config.hidden_hat, hidden=config.hidden,
+                        activation_hat=config.activation_hat,
+                        activation=config.activation)
+    params0 = solver0.init_params(jax.random.fold_in(key, 10 ** 6))
+    evs = []
+    for dw in dws:
+        ev = MFGFixedTrajectoryEvaluator(
+            solver=solver0, params=params0,
+            noise=FrozenNoise(dW0=dw0, dW=dw, dN=dn))
+        ev.simulate_all_processes(min(config.n_frozen, max(config.n_replay, 1)))
+        evs.append(ev)
+    return tuple(evs)
+
+
+def _plot_pdf(config: MFGPoAConfig, result: PoARunResult, pretrain=None):
+    """Multi-page PDF: the pre-training diagnostic panels (untrained policy:
+    consumption / intensity twin-axis / intensity / jump indicator,
+    mainMFGPoA.py:154-186), then consumption / deviation / price panels per
+    sweep point, then the PoA-vs-π curves (:252-335,362-375 intended output)."""
     import matplotlib
 
     matplotlib.use("Agg")
@@ -165,6 +197,8 @@ def _plot_pdf(config: MFGPoAConfig, result: PoARunResult):
     n_show = min(config.n_replay, result.cells[0].evaluators["mfg_p1"]
                  .trajectories["Q"].shape[0]) if result.cells else 0
     with PdfPages(path) as pdf:
+        if pretrain is not None:
+            _pretrain_pages(config, pretrain, pdf, plt)
         for cell in result.cells:
             ev1, ev2 = cell.evaluators["mfg_p1"], cell.evaluators["mfg_p2"]
             t_hours = ev1.trajectories["t"] * ev1.model.dt * 24.0
@@ -206,5 +240,44 @@ def _plot_pdf(config: MFGPoAConfig, result: PoARunResult):
         ax.set(xlabel=r"$\pi$", ylabel="PoA", title="Price of Anarchy")
         ax.grid()
         ax.legend(prop={"size": 7})
+        pdf.savefig(fig)
+        plt.close(fig)
+
+
+def _pretrain_pages(config: MFGPoAConfig, pretrain, pdf, plt):
+    """One page per shown trajectory with the reference's four pre-training
+    panels (mainMFGPoA.py:157-183): player consumptions vs the projection,
+    the intensity on a twin axis against hQ, the intensity alone, and the
+    R < theta jump-window indicator."""
+    ev1, ev2 = pretrain
+    tr1, tr2 = ev1.trajectories, ev2.trajectories
+    t_hours = tr1["t"] * ev1.model.dt * 24.0
+    n_show = min(config.n_replay, tr1["Q"].shape[0])
+    for j in range(n_show):
+        fig, ax = plt.subplots(nrows=2, ncols=2, figsize=(12, 8))
+        ax[0, 0].plot(t_hours, tr1["hQ"][j], label=r"$\hat{Q}$",
+                      linewidth=2.2, color="dimgray")
+        ax[0, 0].plot(t_hours, tr1["Q"][j], label=r"$Q^{1}$ player 1",
+                      color="blue")
+        ax[0, 0].plot(t_hours, tr2["Q"][j], label=r"$Q^{2}$ player 2",
+                      color="red")
+        ax[0, 0].set_title("consumption (kW) — pre-training")
+        ax[0, 0].legend(prop={"size": 6})
+        ax[0, 1].plot(t_hours, tr1["hQ"][j], label=r"$\hat{Q}$",
+                      linewidth=2.2, color="dimgray")
+        ax[0, 1].set_title("intensity")
+        ax[0, 1].set(ylabel=r"$\hat{Q}$")
+        ax2 = ax[0, 1].twinx()
+        ax2.plot(t_hours, tr1["lam"][j], label=r"$\lambda$",
+                 linestyle="dashed", color="tab:brown")
+        ax2.legend(loc=1, prop={"size": 6})
+        ax[1, 0].plot(t_hours, tr1["lam"][j], label=r"$\lambda$",
+                      linestyle="dashed", color="brown")
+        ax[1, 0].set_title("intensity")
+        ax[1, 0].legend(prop={"size": 6})
+        ax[1, 1].plot(t_hours, tr1["R"][j] < ev1.model.theta, label="jumps")
+        ax[1, 1].set_title("jumps")
+        for a in ax.flat:
+            a.set(xlabel="time (hours)")
         pdf.savefig(fig)
         plt.close(fig)

@@ -91,7 +91,6 @@ def _train_one(config, model, method: str, logger: Optional[MetricsLogger],
     if io.outdir and io.checkpoint_every:
         mgr = CheckpointManager(os.path.join(io.outdir, "ckpt", method))
         if io.resume:
-            example = (params, None, key)
             latest = mgr.latest_step()
             if latest is not None:
                 from deepfbsdejsolvers_tpu.solvers.train import make_adam
@@ -112,15 +111,34 @@ def _train_one(config, model, method: str, logger: Optional[MetricsLogger],
     batch = config.batch_size * (
         config.reg_batch_multiplier
         if scheme in ("sumlocal_reg", "multistep_reg") else 1)
+    val_batch = config.batch_size * 10
+    mesh = None
+    if config.data_parallel:
+        from deepfbsdejsolvers_tpu.parallel.data_parallel import (
+            make_mesh, per_shard_batch)
+
+        mesh = make_mesh()
+        batch = per_shard_batch(batch, mesh)
+        val_batch = per_shard_batch(val_batch, mesh)
+        if verbose:
+            print(f"  data-parallel over {mesh.shape['data']} device(s), "
+                  f"{batch} paths/chip")
     res = fit(
         loss_fn=solver.build_loss(batch),
         params=params, key=key, lrate=config.lrate_for(method),
         num_epoch=config.n_epoch, num_epoch_ext=config.n_epoch_ext,
-        val_loss_fn=solver.build_loss(config.batch_size * 10),
+        val_loss_fn=solver.build_loss(val_batch),
         y0_fn=solver.y0_estimate, verbose=verbose, on_epoch=on_epoch,
-        start_epoch=start_epoch, opt_state=opt_state,
+        start_epoch=start_epoch, opt_state=opt_state, mesh=mesh,
     )
-    y0 = res.y0_history[-1] if res.y0_history else float("nan")
+    if not res.y0_history:
+        y0 = float("nan")
+    elif config.y0_tail_avg > 1:
+        import numpy as np
+
+        y0 = float(np.mean(res.y0_history[-config.y0_tail_avg:]))
+    else:
+        y0 = res.y0_history[-1]
     ref = model.price_at_origin()
     return MethodResult(method=method, y0_history=res.y0_history,
                         loss_history=res.loss_history, duration=res.duration,

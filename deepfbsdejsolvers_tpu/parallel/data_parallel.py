@@ -47,6 +47,13 @@ def make_mesh(axis_sizes: Sequence[int] = None,
     return Mesh(devices.reshape(tuple(axis_sizes)), tuple(axis_names))
 
 
+def per_shard_batch(global_batch: int, mesh: Mesh, data_axis: str = "data") -> int:
+    """Paths each chip simulates so the mesh covers ``global_batch`` (rounded
+    up — the effective global batch is ``per_shard * n_shards``)."""
+    n = mesh.shape[data_axis]
+    return max(1, -(-int(global_batch) // int(n)))
+
+
 def make_dp_loss(loss_fn: Callable, mesh: Mesh, data_axis: str = "data") -> Callable:
     """Mesh-wide SPMD loss: per-chip path shards with folded keys, pmean'd.
 

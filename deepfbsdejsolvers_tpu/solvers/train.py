@@ -80,6 +80,9 @@ def fit(
     on_epoch: Optional[Callable[[int, dict, Any], None]] = None,
     start_epoch: int = 0,
     opt_state: Any = None,
+    mesh: Any = None,
+    data_axis: str = "data",
+    optimizer: Optional[optax.GradientTransformation] = None,
 ) -> TrainResult:
     """Train ``params`` for num_epoch_ext outer epochs of num_epoch Adam steps.
 
@@ -93,12 +96,32 @@ def fit(
     ``start_epoch``/``opt_state`` support deterministic resume: per-epoch keys
     are folded from the epoch index, so restarting at epoch k replays the same
     noise stream the uninterrupted run would have seen.
+
+    ``mesh``: a ``jax.sharding.Mesh`` with a ``data_axis`` axis switches every
+    gradient step (and the validation eval) to the SPMD data-parallel path
+    (parallel/data_parallel.py): each chip rolls out ``loss_fn``'s batch with
+    its own folded key and the update is the gradient of the mesh-mean loss,
+    all-reduced over ICI.  ``loss_fn``/``val_loss_fn`` are then *per-shard*
+    losses — build them with the per-chip batch size.
+
+    ``optimizer``: optional optax transformation overriding the default
+    ``make_adam(lrate)`` (``lrate`` may itself be an optax schedule — optax
+    Adam accepts callables).
     """
-    optimizer = make_adam(lrate)
+    if optimizer is None:
+        optimizer = make_adam(lrate)
     if opt_state is None:
         opt_state = optimizer.init(params)
-    epoch_fn = make_epoch_fn(loss_fn, optimizer, num_epoch)
-    val_fn = jax.jit(val_loss_fn) if val_loss_fn is not None else None
+    if mesh is not None:
+        from deepfbsdejsolvers_tpu.parallel.data_parallel import (
+            make_dp_epoch, make_dp_loss)
+
+        epoch_fn = make_dp_epoch(loss_fn, optimizer, mesh, num_epoch, data_axis)
+        val_fn = (jax.jit(make_dp_loss(val_loss_fn, mesh, data_axis))
+                  if val_loss_fn is not None else None)
+    else:
+        epoch_fn = make_epoch_fn(loss_fn, optimizer, num_epoch)
+        val_fn = jax.jit(val_loss_fn) if val_loss_fn is not None else None
 
     y0_hist: List[float] = []
     loss_hist: List[float] = []
