@@ -23,7 +23,8 @@ import sys
 import time
 
 
-def build(batch: int, compensator: str, parity: bool, model_name: str = "merton"):
+def build(batch: int, compensator: str, parity: bool, model_name: str = "merton",
+          sweep: str = None):
     import jax
 
     from deepfbsdejsolvers_tpu.models.merton import make_merton_default
@@ -71,10 +72,17 @@ def build(batch: int, compensator: str, parity: bool, model_name: str = "merton"
                 losses["coupled"])
     elif parity:
         # reference-faithful numerics: exact Poisson sampler, f32 heads,
-        # XLA sweep over the default 49-node rule (or 5000-sample MC)
+        # direct sweep over the default 49-node rule (or 5000-sample MC).
+        # The fused Pallas MXU kernel is the fastest parity implementation
+        # on TPU (2.6x XLA on the 49-node rule, 4.5x on MC-5000 — BASELINE.md)
+        # and computes the same f32 math (value/grad-gated in
+        # tests/test_pallas_sweep.py); --sweep xla opts out.
+        if sweep is None:
+            sweep = "pallas" if on_tpu else "xla"
         model = make_merton_default()
         solver = PricingSolver(
-            model, "global", compensator=CompensatorSpec(kind=compensator))
+            model, "global", compensator=CompensatorSpec(kind=compensator),
+            sweep_impl=sweep)
     else:
         # speed config (accuracy-gated in tests/test_chebyshev.py /
         # test_fast_paths.py and the convergence runs in BASELINE.md):
@@ -99,13 +107,14 @@ def build(batch: int, compensator: str, parity: bool, model_name: str = "merton"
 
 
 def measure(batch: int, inner: int, rounds: int, compensator: str,
-            parity: bool = False, model_name: str = "merton") -> dict:
+            parity: bool = False, model_name: str = "merton",
+            sweep: str = None) -> dict:
     import jax
 
     from deepfbsdejsolvers_tpu.solvers.train import make_epoch_fn
 
     model, solver, params, optimizer, opt_state, loss_fn = build(
-        batch, compensator, parity, model_name)
+        batch, compensator, parity, model_name, sweep)
     epoch = make_epoch_fn(loss_fn, optimizer, inner)
     key = jax.random.key(1)
     # compile + 2 warmup epochs (the first post-compile epoch runs ~2x slow
@@ -150,6 +159,9 @@ def main():
     p.add_argument("--parity", action="store_true",
                    help="reference-faithful numerics (f32, exact sampler, "
                         "49-node/MC sweep) instead of the speed config")
+    p.add_argument("--sweep", choices=["xla", "pallas"], default=None,
+                   help="parity-mode compensator sweep implementation "
+                        "(default: pallas on TPU, xla elsewhere)")
     p.add_argument("--anchor", action="store_true",
                    help="measure the CPU anchor and write bench_baseline.json")
     args = p.parse_args()
@@ -173,7 +185,7 @@ def main():
         return
 
     res = measure(args.batch, args.inner, args.rounds, args.compensator,
-                  args.parity, args.model)
+                  args.parity, args.model, args.sweep)
     vs = None
     if args.model == "merton" and os.path.exists(ANCHOR_FILE):
         with open(ANCHOR_FILE) as f:

@@ -94,11 +94,15 @@ class SmartGridMFGModel:
     coeff_equi: float = 1.0          # 1 = MFG, 2 = aggregate MFC
     # "exact" uses jax.random.poisson (rejection loops — slow for the Cox
     # case where every path has its own rate); "icdf" inverts the Poisson
-    # CDF via the pmf recurrence p_k = p_{k-1}·λdt/k truncated at
-    # ``icdf_k_max`` terms (tail mass < 1e-9 for λdt ≤ ~1, < 1e-6 at
-    # λdt = 0.5 with the default 12).
+    # CDF via the pmf recurrence p_k = p_{k-1}·λdt/k.  ``icdf_k_max`` is a
+    # *floor* on the truncation depth: the effective depth is derived at
+    # construction from a static bound on λ·dt (the Cox intensity
+    # β(e^{α·hQ}-1) spans orders of magnitude over the daily profile — λ·dt
+    # ≈ 25 near the consumption peak at the comparison config) so the
+    # truncated tail mass stays < 1e-6 whatever the state.
     jump_sampler: str = "exact"
     icdf_k_max: int = 12
+    icdf_tail_tol: float = 1e-6
 
     def __post_init__(self):
         q = np.asarray(self.q_aver, np.float64)
@@ -118,6 +122,23 @@ class SmartGridMFGModel:
         object.__setattr__(self, "_dt", float(dt))
         object.__setattr__(self, "_q_aver", jnp.asarray(q, jnp.float32))
         object.__setattr__(self, "_mean_hq", jnp.asarray(mean_hq, jnp.float32))
+        # Effective icdf truncation depth from a static λ·dt bound: hQ is
+        # OU-reverting to the profile with common-noise vol sig0, bounded by
+        # max(QAver) + 4·sig0·√T (the reversion-free random-walk envelope —
+        # conservative).  Smallest k with Poisson(λ_max·dt) tail < tol.
+        if self.jump_model == "stochastic":
+            hq_bound = float(q.max()) + 4.0 * self.sig0 * np.sqrt(self.T)
+            lam_bound = self.beta * (np.exp(self.alpha * hq_bound) - 1.0)
+        else:
+            lam_bound = self.jump_factor
+        lam_dt_bound = max(float(lam_bound) * dt, 0.0)
+        p = np.exp(-lam_dt_bound)
+        cdf, k = p, 0
+        while cdf < 1.0 - self.icdf_tail_tol and k < 1024:
+            k += 1
+            p *= lam_dt_bound / k
+            cdf += p
+        object.__setattr__(self, "_icdf_k_eff", max(int(self.icdf_k_max), k))
 
     # ---- scalars ---------------------------------------------------------
     @property
@@ -163,7 +184,7 @@ class SmartGridMFGModel:
             p = jnp.exp(-lam_dt)                 # P(N = 0)
             cdf = p
             dn = jnp.zeros_like(lam_dt)
-            for k in range(1, self.icdf_k_max + 1):
+            for k in range(1, self._icdf_k_eff + 1):
                 dn = dn + (u > cdf)              # one count per CDF level passed
                 p = p * lam_dt / k
                 cdf = cdf + p

@@ -14,7 +14,7 @@ TPU-first design notes
   ``[M, B, d]`` compensator sweep of the reference (SolversJumpDiff.py:38-39)
   is just the same call — XLA maps it onto one big MXU matmul.
 * Hidden widths are intentionally NOT padded here: XLA pads tiny feature dims
-  onto the (8,128) tile itself.  The Pallas fast path (ops/pallas_step.py)
+  onto the (8,128) tile itself.  The Pallas fast path (ops/pallas_sweep.py)
   handles layout explicitly.
 """
 
@@ -76,7 +76,14 @@ def _glorot_normal(key: jax.Array, shape, dtype=jnp.float32) -> jax.Array:
 def init_mlp(key: jax.Array, spec: MLPSpec, dtype=jnp.float32) -> Params:
     """Initialize params: Glorot-normal kernels, zero biases, optional scalar y0
     (y0 itself Glorot-normal on a scalar shape => std 1, matching Keras
-    semantics at coupledPricing/Networks.py:14)."""
+    semantics at coupledPricing/Networks.py:14).
+
+    Documented deviation: the reference's MFG hat-net scalar is Glorot
+    *Uniform* (`Net_hat.Y0_hat`, coupledMFG/Networks.py:15 — U(-√3, √3) on a
+    scalar shape) while its pricing `Net.Y0` is GlorotNormal; here BOTH
+    scalars draw from the unit normal.  Same mean/variance family, different
+    distribution of a single init draw — immaterial after the first Adam
+    epochs and not worth a per-net init switch."""
     sizes = spec.sizes
     n_layers = len(sizes) - 1
     keys = jax.random.split(key, n_layers + 1)

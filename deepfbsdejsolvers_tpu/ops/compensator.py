@@ -61,6 +61,14 @@ class CompensatorSpec:
     # [min, max] range; set ~8 for heavy-tailed path laws (VG) where
     # outliers stretch the range and waste polynomial resolution.
     cheb_robust_sigmas: float | None = None
+    # Node-axis chunking of the direct [M, B] sweep: the reference-exact
+    # MC-5000 sweep materializes [5000, B, H] activations (tens of GB at
+    # B=2^17 — OOM).  ``None`` = auto (chunk so one block's activations stay
+    # ~1 GB: block = 2^24 // B, no-op when M·B is small); an int forces that
+    # block size; 0 disables chunking.  Blocks run as a rematerialized
+    # ``lax.map`` of weighted partial sums — same value/gradient, O(block·B)
+    # peak memory.
+    node_block: int | None = None
 
     def __post_init__(self):
         if self.kind not in ("mc", "quadrature"):

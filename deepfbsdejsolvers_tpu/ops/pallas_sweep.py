@@ -169,16 +169,30 @@ def group_nodes(nodes: jax.Array, weights: jax.Array, hidden: int
 
 # --------------------------------------------------------------------- kernels
 
+# Static-unroll node groups up to this count; fori_loop above.  0 = always
+# fori_loop: unrolling chains every iteration's (TB, 128) temporaries live
+# through the carry and blows the 16MB scoped-VMEM budget at TB=2048 (the
+# fori body keeps exactly one iteration's buffers live).
+_UNROLL_MAX = 0
+
+
 def _fwd_kernel(x_ref, a_ref, c_ref, w1_ref, b1_ref, v_ref, o_ref, *, mg: int):
     x = x_ref[:]                                        # (TB, 1)
-    acc = jnp.zeros_like(x)
     w1 = w1_ref[:]
     b1 = b1_ref[:]
-    for g in range(mg):                                 # static unroll, Mg small
+
+    def one_group(g, acc):
         h1 = jnp.tanh(x * a_ref[g][None, :] + c_ref[g][None, :])   # (TB, 128)
         h2 = jnp.tanh(jnp.dot(h1, w1, preferred_element_type=jnp.float32)
                       + b1)
-        acc = acc + jnp.sum(h2 * v_ref[g][None, :], axis=-1, keepdims=True)
+        return acc + jnp.sum(h2 * v_ref[g][None, :], axis=-1, keepdims=True)
+
+    acc = jnp.zeros_like(x)
+    if mg <= _UNROLL_MAX:
+        for g in range(mg):                             # static unroll, Mg small
+            acc = one_group(g, acc)
+    else:                                               # MC-sized node sets
+        acc = jax.lax.fori_loop(0, mg, one_group, acc)
     o_ref[:] = acc
 
 
@@ -198,8 +212,9 @@ def _bwd_kernel(x_ref, a_ref, c_ref, w1_ref, b1_ref, v_ref, g_ref,
     g_out = g_ref[:]                                    # (TB, 1)
     w1 = w1_ref[:]
     b1 = b1_ref[:]
-    dx = jnp.zeros_like(x)
-    for g in range(mg):
+
+    def one_group(g, carry):
+        dx, dw1_acc, db1_acc = carry
         a_g = a_ref[g][None, :]
         h1 = jnp.tanh(x * a_g + c_ref[g][None, :])
         z2 = jnp.dot(h1, w1, preferred_element_type=jnp.float32) + b1
@@ -208,13 +223,26 @@ def _bwd_kernel(x_ref, a_ref, c_ref, w1_ref, b1_ref, v_ref, g_ref,
         dv_ref[g, :] += jnp.sum(g_out * h2, axis=0)
         dh2 = g_out * v_ref[g][None, :]                 # (TB, 128)
         dz2 = dh2 * (1.0 - h2 * h2)
-        dw1_ref[:, :] += jnp.dot(h1.T, dz2, preferred_element_type=jnp.float32)
-        db1_ref[0, :] += jnp.sum(dz2, axis=0)
+        dw1_acc = dw1_acc + jnp.dot(h1.T, dz2,
+                                    preferred_element_type=jnp.float32)
+        db1_acc = db1_acc + jnp.sum(dz2, axis=0)
         dh1 = jnp.dot(dz2, w1.T, preferred_element_type=jnp.float32)
         dz1 = dh1 * (1.0 - h1 * h1)
         dx = dx + jnp.sum(dz1 * a_g, axis=-1, keepdims=True)
         da_ref[g, :] += jnp.sum(dz1 * x, axis=0)
         dc_ref[g, :] += jnp.sum(dz1, axis=0)
+        return dx, dw1_acc, db1_acc
+
+    carry = (jnp.zeros_like(x), jnp.zeros((LANES, LANES), jnp.float32),
+             jnp.zeros((LANES,), jnp.float32))
+    if mg <= _UNROLL_MAX:
+        for g in range(mg):
+            carry = one_group(g, carry)
+    else:
+        carry = jax.lax.fori_loop(0, mg, one_group, carry)
+    dx, dw1_acc, db1_acc = carry
+    dw1_ref[:, :] += dw1_acc
+    db1_ref[0, :] += db1_acc
     dx_ref[:] = dx
 
 
@@ -239,14 +267,25 @@ def _tile(batch: int) -> int:
     return batch
 
 
+def _pad_batch(batch: int) -> int:
+    """Round the path batch up to a tileable size (any batch is accepted;
+    zero-padded rows are exact through both fwd and bwd — padded cotangents
+    are zero so they contribute nothing to the packed-weight grads)."""
+    quantum = 2048 if batch >= 2048 else 256 if batch >= 256 else 8
+    return -(-batch // quantum) * quantum
+
+
 def _fused_sweep_fwd_impl(x, a, c, w1b, b1b, v):
     batch = x.shape[0]
+    padded = _pad_batch(batch)
+    if padded != batch:
+        x = jnp.pad(x, (0, padded - batch))
     mg = a.shape[0]
-    tb = _tile(batch)
+    tb = _tile(padded)
     interpret = not _on_tpu()
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, mg=mg),
-        grid=(batch // tb,),
+        grid=(padded // tb,),
         in_specs=[
             _vmem_spec((tb, 1), lambda i: (i, 0)),
             _vmem_spec((mg, LANES), lambda i: (0, 0)),
@@ -256,10 +295,10 @@ def _fused_sweep_fwd_impl(x, a, c, w1b, b1b, v):
             _vmem_spec((mg, LANES), lambda i: (0, 0)),
         ],
         out_specs=_vmem_spec((tb, 1), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((batch, 1), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((padded, 1), jnp.float32),
         interpret=interpret,
     )(x[:, None], a, c, w1b, b1b[None, :], v)
-    return out[:, 0]
+    return out[:batch, 0]
 
 
 def _fused_sweep_fwd(x, a, c, w1b, b1b, v):
@@ -269,11 +308,15 @@ def _fused_sweep_fwd(x, a, c, w1b, b1b, v):
 def _fused_sweep_bwd(res, g_out):
     x, a, c, w1b, b1b, v = res
     batch = x.shape[0]
+    padded = _pad_batch(batch)
+    if padded != batch:
+        x = jnp.pad(x, (0, padded - batch))
+        g_out = jnp.pad(g_out, (0, padded - batch))
     mg = a.shape[0]
-    tb = _tile(batch)
+    tb = _tile(padded)
     interpret = not _on_tpu()
     shapes = (
-        jax.ShapeDtypeStruct((batch, 1), jnp.float32),   # dx
+        jax.ShapeDtypeStruct((padded, 1), jnp.float32),  # dx
         jax.ShapeDtypeStruct((mg, LANES), jnp.float32),  # da
         jax.ShapeDtypeStruct((mg, LANES), jnp.float32),  # dc
         jax.ShapeDtypeStruct((LANES, LANES), jnp.float32),
@@ -283,7 +326,7 @@ def _fused_sweep_bwd(res, g_out):
     full = lambda i: (0, 0)
     dx, da, dc, dw1, db1, dv = pl.pallas_call(
         functools.partial(_bwd_kernel, mg=mg),
-        grid=(batch // tb,),
+        grid=(padded // tb,),
         in_specs=[
             _vmem_spec((tb, 1), lambda i: (i, 0)),
             _vmem_spec((mg, LANES), full),
@@ -304,7 +347,7 @@ def _fused_sweep_bwd(res, g_out):
         out_shape=shapes,
         interpret=interpret,
     )(x[:, None], a, c, w1b, b1b[None, :], v, g_out[:, None])
-    return dx[:, 0], da, dc, dw1, db1[0], dv
+    return dx[:batch, 0], da, dc, dw1, db1[0], dv
 
 
 fused_sweep.defvjp(_fused_sweep_fwd, _fused_sweep_bwd)

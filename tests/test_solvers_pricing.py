@@ -104,3 +104,45 @@ def test_net_wiring_matches_reference():
     assert set(s) == {"gam"} and s["gam"].with_y0  # pure-jump global: Γ-net only
     s = PricingSolver(v, "sumlocal_reg", compensator=SMALL_QUAD).net_specs()
     assert set(s) == {"uz"} and s["uz"].n_out == 1
+
+
+def test_chunked_mc_sweep_matches_unchunked(rng_key):
+    """Node-axis chunking of the MC compensator sweep (node_block) must
+    reproduce the unchunked loss and gradients exactly (VERDICT r1 item 4:
+    reference-exact [n_mc, B] semantics at the headline batch)."""
+    model = tiny_merton()
+    base = PricingSolver(model, "global", hidden=(8, 8),
+                         compensator=CompensatorSpec(kind="mc", n_mc=48,
+                                                     node_block=0))
+    # block 7 does not divide 48 -> exercises the zero-weight pad
+    chunked = PricingSolver(model, "global", hidden=(8, 8),
+                            compensator=CompensatorSpec(kind="mc", n_mc=48,
+                                                        node_block=7))
+    params = base.init_params(rng_key)
+    la = jax.jit(base.build_loss(16))
+    lb = jax.jit(chunked.build_loss(16))
+    va, ga = jax.value_and_grad(la)(params, rng_key)
+    vb, gb = jax.value_and_grad(lb)(params, rng_key)
+    assert float(va) == pytest.approx(float(vb), rel=1e-6)
+    # f32 reduction-order noise: the chunked sum-of-partial-weighted-sums
+    # reassociates the node reduction, which shows up as ~1e-5 absolute noise
+    # on near-cancelling gradient components.
+    for a, b in zip(jax.tree_util.tree_leaves(ga),
+                    jax.tree_util.tree_leaves(gb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=2e-5)
+
+
+def test_chunked_quadrature_sweep_matches_unchunked(rng_key):
+    model = tiny_merton()
+    spec0 = CompensatorSpec(kind="quadrature", n_poisson_max=3, n_hermite=4,
+                            node_block=0)
+    spec1 = CompensatorSpec(kind="quadrature", n_poisson_max=3, n_hermite=4,
+                            node_block=5)
+    base = PricingSolver(model, "multistep2", hidden=(8, 8), compensator=spec0)
+    chunked = PricingSolver(model, "multistep2", hidden=(8, 8),
+                            compensator=spec1)
+    params = base.init_params(rng_key)
+    va = float(jax.jit(base.build_loss(16))(params, rng_key))
+    vb = float(jax.jit(chunked.build_loss(16))(params, rng_key))
+    assert va == pytest.approx(vb, rel=1e-6)
