@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Close (or quantify the floor of) the Merton Global-scheme 1e-3 gate.
+
+Round-1 status (BASELINE.md): the Global scheme's trainable Y0 lands at
+3.4e-3 - 9.4e-3 run-to-run on the standard 3-phase budget — optimization-
+dominated, not numerics-dominated (aLin=0 passes at 3.8e-4; the coupling
+aLin*|Y - A| rectifies head-approximation noise into a drift bias).
+
+This study measures, across seeds, the VERDICT r1 levers:
+  base        3-phase constant-lr fit (round-1 configuration)
+  cosine      one fit, cosine-decayed lr (3e-3 -> 0) over the same step budget
+  cosine_tail cosine + trailing-average Y0 readout over the last K epochs
+  long        cosine_tail at 2x steps
+  wide        cosine_tail with (64, 64) heads (less rectified drift bias)
+  bigbatch    cosine_tail at 4x batch (less SGD noise into the rectifier)
+
+Usage: python scripts/gate_global_study.py [--seeds 5] [--variants ...]
+Writes one JSON line per (variant, seed) and a summary per variant.
+"""
+
+import argparse
+import json
+import sys
+
+sys.path.insert(0, ".")
+
+import jax
+import numpy as np
+import optax
+
+from deepfbsdejsolvers_tpu.models.merton import make_merton_default
+from deepfbsdejsolvers_tpu.ops.compensator import CompensatorSpec
+from deepfbsdejsolvers_tpu.solvers.pricing import PricingSolver
+from deepfbsdejsolvers_tpu.solvers.train import fit
+
+CHEB64 = CompensatorSpec(x_interp="chebyshev", n_cheb=64)
+
+
+def run_once(seed: int, *, hidden=(21, 21), batch=8192, steps=2400,
+             schedule="cosine", tail_epochs=0, peak_lr=3e-3):
+    model = make_merton_default(jump_sampler="icdf", price_mode="chebyshev")
+    oracle = model.price_at_origin()
+    solver = PricingSolver(model, "global", hidden=hidden, compensator=CHEB64)
+    params = solver.init_params(jax.random.key(seed))
+    key = jax.random.key(1000 + seed)
+    num_epoch = 100
+    n_ext = steps // num_epoch
+    if schedule == "cosine":
+        lrate = optax.cosine_decay_schedule(peak_lr, steps)
+        res = fit(loss_fn=solver.build_loss(batch), params=params, key=key,
+                  lrate=lrate, num_epoch=num_epoch, num_epoch_ext=n_ext,
+                  y0_fn=solver.y0_estimate, verbose=False)
+        y0_hist = res.y0_history
+    else:  # round-1 3-phase schedule
+        y0_hist = []
+        for phase, lr in enumerate((3e-3, 1e-3, 3e-4)):
+            res = fit(loss_fn=solver.build_loss(batch), params=params,
+                      key=jax.random.fold_in(key, phase), lrate=lr,
+                      num_epoch=num_epoch, num_epoch_ext=n_ext // 3,
+                      y0_fn=solver.y0_estimate, verbose=False)
+            params = res.params
+            y0_hist += res.y0_history
+    if tail_epochs > 1:
+        y0 = float(np.mean(y0_hist[-tail_epochs:]))
+    else:
+        y0 = float(y0_hist[-1])
+    return y0, abs(y0 - oracle), oracle
+
+
+VARIANTS = {
+    "base": dict(schedule="phases"),
+    "cosine": dict(schedule="cosine"),
+    "cosine_tail": dict(schedule="cosine", tail_epochs=6),
+    "long": dict(schedule="cosine", tail_epochs=12, steps=4800),
+    "wide": dict(schedule="cosine", tail_epochs=6, hidden=(64, 64)),
+    "bigbatch": dict(schedule="cosine", tail_epochs=6, batch=32768),
+}
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--seeds", type=int, default=5)
+    p.add_argument("--variants", nargs="*", default=list(VARIANTS))
+    args = p.parse_args()
+
+    summary = {}
+    for name in args.variants:
+        errs = []
+        for seed in range(args.seeds):
+            y0, err, oracle = run_once(seed, **VARIANTS[name])
+            errs.append(err)
+            print(json.dumps({"variant": name, "seed": seed, "y0": y0,
+                              "oracle": oracle, "abs_error": err}), flush=True)
+        errs = np.asarray(errs)
+        summary[name] = {
+            "mean_err": float(errs.mean()), "max_err": float(errs.max()),
+            "pass_rate_1e-3": float((errs <= 1e-3).mean()),
+        }
+        print(json.dumps({"summary": name, **summary[name]}), flush=True)
+    print(json.dumps({"all": summary}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -124,15 +124,32 @@ def test_pallas_kernel_unit(rng_key):
         assert np.linalg.norm(gg - gw) / np.linalg.norm(gw) < 1e-4
 
 
-def test_pallas_falls_back_when_preconditions_fail():
-    """Odd batch / mc mode / sharded axis must silently take the XLA path."""
+def test_pallas_preconditions_round2():
+    """Round-2 contract: odd batches (zero-pad) and MC mode (per-step node
+    sets) are ACCEPTED; a sharded comp axis or a non-conforming head falls
+    back to XLA with a LOUD one-time warning."""
+    import warnings
+
     m = make_merton_default()
     s = PricingSolver(m, "global", compensator=SPEC, sweep_impl="pallas")
     params = s.init_params(jax.random.key(0))
-    assert not s._pallas_ok(params, 100)          # batch not % 256
+    assert s._pallas_ok(params, 100)              # any batch: padded
     s_mc = PricingSolver(m, "global", compensator=CompensatorSpec(kind="mc"),
                          sweep_impl="pallas")
-    assert not s_mc._pallas_ok(params, 256)       # mc mode
-    # and the loss still runs end-to-end at a non-conforming batch
+    assert s_mc._pallas_ok(params, 256)           # mc mode supported
+    # the loss runs end-to-end at a non-tile-aligned batch
     loss = float(jax.jit(s.build_loss(96))(params, jax.random.key(1)))
     assert np.isfinite(loss)
+    # disqualifier -> loud fallback (sharded node axis)
+    s_sh = PricingSolver(m, "global", compensator=SPEC, sweep_impl="pallas",
+                         comp_axis="comp", comp_shards=2)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        assert not s_sh._pallas_ok(params, 256)
+    assert any("falling back to the XLA sweep" in str(w.message)
+               for w in caught)
+    # non-tanh activation disqualifies (one-layer-shape check shares the path)
+    s_act = PricingSolver(m, "global", compensator=SPEC, sweep_impl="pallas",
+                          activation="relu")
+    p_act = s_act.init_params(jax.random.key(0))
+    assert not s_act._pallas_ok(p_act, 256)
