@@ -86,6 +86,10 @@ def _add_pricing_flags(p: argparse.ArgumentParser, lr_y0, lr_loc, lr_reg,
     p.add_argument("--y0TailAvg", type=int, default=1,
                    help="report Y0 as the mean over the last k outer epochs "
                         "(1 = reference behavior)")
+    p.add_argument("--y0WarmStart", action="store_true",
+                   help="init the Global scheme's trainable Y0 at an "
+                        "oracle-free MC payoff estimate (robustness: avoids "
+                        "the spurious basin ~1/3 of std-normal inits hit)")
     p.add_argument("--fast", action="store_true",
                    help="TPU speed preset (accuracy-gated, full f32): "
                         "Chebyshev-collocated compensator (64 points, full "
@@ -110,7 +114,7 @@ def _pricing_common(args) -> dict:
         compensator=args.compensator, n_mc=args.nMC, seed=args.seed,
         sweep_impl=args.sweepImpl,
         data_parallel=args.dataParallel, y0_tail_avg=args.y0TailAvg,
-        io=_io_from_args(args), **fast,
+        y0_warm_start=args.y0WarmStart, io=_io_from_args(args), **fast,
     )
 
 

@@ -93,6 +93,11 @@ class PricingConfigBase:
     # trailing epochs removes most of that variance (see BASELINE.md gate
     # study).  1 = reference behavior (last epoch).
     y0_tail_avg: int = 1
+    # Initialize the Global scheme's trainable Y0 at an oracle-free MC
+    # payoff estimate instead of the reference's std-1 normal draw (~1/3 of
+    # which land Adam in a spurious negative-Y0 basin — BASELINE.md gate
+    # study).  Off by default for init parity.
+    y0_warm_start: bool = False
     seed: int = 0
     io: RunIO = dataclasses.field(default_factory=RunIO)
 

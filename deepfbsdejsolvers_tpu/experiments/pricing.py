@@ -84,6 +84,8 @@ def _train_one(config, model, method: str, logger: Optional[MetricsLogger],
     key = jax.random.key(config.seed)
     key, k_init = jax.random.split(key)
     params = solver.init_params(k_init)
+    if config.y0_warm_start and scheme == "global":
+        params = solver.warm_start_y0(params, jax.random.fold_in(key, 999))
 
     io = config.io
     mgr = None

@@ -577,6 +577,47 @@ class PricingSolver:
         # (SolversJumpDiff.py:400,413 vs SolversPureJump.py:370,380).
         return self._sumlocal_core(batch, with_heads=False)
 
+    def warm_start_y0(self, params: Params, key: jax.Array,
+                      batch: int = 65536) -> Params:
+        """Params with the trainable scalar y0 re-initialized at the
+        discounted-payoff MC estimate  e^{-rT} E[g(X_N)]  under the UNcoupled
+        dynamics (coupling zeroed, Y fed as 0 — oracle-free).
+
+        The reference inits Y0 from Glorot on a scalar shape (std-1 normal,
+        coupledPricing/Networks.py:14); the BASELINE.md gate study measured
+        ~1/3 of such draws landing Adam in a spurious negative-Y0 basin of the
+        Global scheme.  Global scheme only (the other schemes have no y0)."""
+        import dataclasses as dc
+
+        from deepfbsdejsolvers_tpu.models.merton import abs_coupling
+
+        head = "uz" if self.jump_diff else "gam"
+        if "y0" not in params.get(head, {}):
+            raise ValueError(
+                f"scheme {self.scheme!r} has no trainable y0 to warm-start")
+        model = dc.replace(self.model, coupling=abs_coupling(0.0))
+
+        @jax.jit
+        def payoff_mc(k):
+            def body(x, i):
+                key_i = jax.random.fold_in(k, i)
+                kd, kj = jax.random.split(key_i)
+                j = model.sample_jumps(kj, x.shape)
+                if self.jump_diff:
+                    dw = jnp.sqrt(model.dt) * jax.random.normal(kd, x.shape)
+                    return model.step(i, x, dw, j, jnp.zeros_like(x)), None
+                return model.step(i, x, j, jnp.zeros_like(x)), None
+
+            x, _ = jax.lax.scan(body, model.init_x(batch),
+                                jnp.arange(model.N))
+            return jnp.exp(-model.r * model.T) * jnp.mean(model.payoff(x))
+
+        new_head = dict(params[head])
+        new_head["y0"] = payoff_mc(key).astype(jnp.float32)
+        out = dict(params)
+        out[head] = new_head
+        return out
+
     # ------------------------------------------------------------- evaluation
     def y0_estimate(self, params: Params) -> jax.Array:
         """Current Y0: the trainable scalar for global (SolversJumpDiff.py:69),

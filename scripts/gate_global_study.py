@@ -25,6 +25,7 @@ import sys
 sys.path.insert(0, ".")
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import optax
 
@@ -37,11 +38,39 @@ CHEB64 = CompensatorSpec(x_interp="chebyshev", n_cheb=64)
 
 
 def run_once(seed: int, *, hidden=(21, 21), batch=8192, steps=2400,
-             schedule="cosine", tail_epochs=0, peak_lr=3e-3):
-    model = make_merton_default(jump_sampler="icdf", price_mode="chebyshev")
+             schedule="cosine", tail_epochs=0, peak_lr=3e-3, a_lin=0.1,
+             warm_y0=False, n_steps=None):
+    import dataclasses as _dc
+
+    model = make_merton_default(a_lin=a_lin, jump_sampler="icdf",
+                                price_mode="chebyshev")
+    if n_steps is not None:
+        model = _dc.replace(model, N=n_steps)
     oracle = model.price_at_origin()
     solver = PricingSolver(model, "global", hidden=hidden, compensator=CHEB64)
     params = solver.init_params(jax.random.key(seed))
+    if warm_y0:
+        # Initialize the trainable Y0 at the closed-form-free MC estimate of
+        # the discounted payoff under the UNcoupled dynamics (a cheap, oracle-
+        # free warm start that keeps Adam out of the spurious Y0<0 basin).
+        import dataclasses as _dc
+
+        m0 = make_merton_default(a_lin=0.0, jump_sampler="icdf",
+                                 price_mode="chebyshev")
+
+        @jax.jit
+        def payoff_mc(k):
+            def body(x, i):
+                dw = jnp.sqrt(m0.dt) * jax.random.normal(
+                    jax.random.fold_in(k, 2 * i), x.shape)
+                j = m0.sample_jumps(jax.random.fold_in(k, 2 * i + 1), x.shape)
+                return m0.step(i, x, dw, j, jnp.zeros_like(x)), None
+
+            x, _ = jax.lax.scan(body, m0.init_x(65536), jnp.arange(m0.N))
+            return jnp.exp(-m0.r * m0.T) * jnp.mean(m0.payoff(x))
+
+        y0_est = payoff_mc(jax.random.key(10_000 + seed))
+        params["uz"]["y0"] = jnp.asarray(y0_est, jnp.float32)
     key = jax.random.key(1000 + seed)
     num_epoch = 100
     n_ext = steps // num_epoch
@@ -74,6 +103,22 @@ VARIANTS = {
     "long": dict(schedule="cosine", tail_epochs=12, steps=4800),
     "wide": dict(schedule="cosine", tail_epochs=6, hidden=(64, 64)),
     "bigbatch": dict(schedule="cosine", tail_epochs=6, batch=32768),
+    # Decomposition of the systematic +3.5e-3 bias: the coupling term
+    # aLin*|Y-A| rectifies the scheme's pathwise Y-approximation error into
+    # extra drift.  If the bias is linear in aLin, 2*Y0(aLin/2) - Y0(aLin)
+    # extrapolates it away.  warm_y0 starts the trainable scalar at an
+    # oracle-free MC payoff estimate (keeps Adam out of the spurious
+    # negative-Y0 basin some Glorot inits fall into).
+    "warm": dict(schedule="cosine", tail_epochs=6, warm_y0=True),
+    "warm_long": dict(schedule="cosine", tail_epochs=12, steps=4800,
+                      warm_y0=True),
+    "alin005": dict(schedule="cosine", tail_epochs=6, warm_y0=True,
+                    a_lin=0.05),
+    "alin0": dict(schedule="cosine", tail_epochs=6, warm_y0=True, a_lin=0.0),
+    # Discretization probe: if the pathwise |Y - A| feeding the rectifier is
+    # Euler-dominated, the bias shrinks with dt.
+    "n100": dict(schedule="cosine", tail_epochs=6, warm_y0=True, n_steps=100),
+    "n200": dict(schedule="cosine", tail_epochs=6, warm_y0=True, n_steps=200),
 }
 
 

@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Pin the VG Global gate (VERDICT r1 item 7): seed-CI + trailing-average
+readout + longer budget + aLin bias decomposition, against the Carr-Madan
+FFT oracle (pricingModels.py:156-179; mainVG.py:67-69).
+
+Usage: python scripts/gate_vg_study.py [--seeds 5] [--variants ...]
+"""
+
+import argparse
+import dataclasses
+import json
+import sys
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from deepfbsdejsolvers_tpu.models.variance_gamma import make_vg_default
+from deepfbsdejsolvers_tpu.ops.compensator import CompensatorSpec
+from deepfbsdejsolvers_tpu.solvers.pricing import PricingSolver
+from deepfbsdejsolvers_tpu.solvers.train import fit
+
+CHEB64 = CompensatorSpec(x_interp="chebyshev", n_cheb=64,
+                         n_hermite=8, n_laguerre=12)
+
+
+def run_once(seed: int, *, batch=8192, steps=2400, tail_epochs=6,
+             peak_lr=3e-3, a_lin=0.1, warm_y0=True):
+    model = dataclasses.replace(make_vg_default(a_lin=a_lin),
+                                price_eval="chebyshev")
+    oracle = model.price_at_origin()
+    solver = PricingSolver(model, "global", compensator=CHEB64)
+    params = solver.init_params(jax.random.key(seed))
+    if warm_y0:
+        m0 = dataclasses.replace(make_vg_default(a_lin=0.0),
+                                 price_eval="chebyshev")
+
+        @jax.jit
+        def payoff_mc(k):
+            def body(x, i):
+                j = m0.sample_jumps(jax.random.fold_in(k, i), x.shape)
+                return m0.step(i, x, j, jnp.zeros_like(x)), None
+
+            x, _ = jax.lax.scan(body, m0.init_x(65536), jnp.arange(m0.N))
+            return jnp.exp(-m0.r * m0.T) * jnp.mean(m0.payoff(x))
+
+        y0_est = payoff_mc(jax.random.key(10_000 + seed))
+        params["gam"]["y0"] = jnp.asarray(y0_est, jnp.float32)
+    lrate = optax.cosine_decay_schedule(peak_lr, steps)
+    num_epoch = 100
+    res = fit(loss_fn=solver.build_loss(batch), params=params,
+              key=jax.random.key(1000 + seed), lrate=lrate,
+              num_epoch=num_epoch, num_epoch_ext=steps // num_epoch,
+              y0_fn=solver.y0_estimate, verbose=False)
+    y0 = float(np.mean(res.y0_history[-tail_epochs:])) if tail_epochs > 1 \
+        else float(res.y0_history[-1])
+    return y0, abs(y0 - oracle), oracle
+
+
+VARIANTS = {
+    "std": dict(),
+    "long": dict(steps=4800, tail_epochs=12),
+    "alin005": dict(a_lin=0.05),
+    "alin0": dict(a_lin=0.0),
+}
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--seeds", type=int, default=5)
+    p.add_argument("--variants", nargs="*", default=list(VARIANTS))
+    args = p.parse_args()
+    summary = {}
+    for name in args.variants:
+        errs, y0s = [], []
+        for seed in range(args.seeds):
+            y0, err, oracle = run_once(seed, **VARIANTS[name])
+            errs.append(err)
+            y0s.append(y0)
+            print(json.dumps({"variant": name, "seed": seed, "y0": y0,
+                              "oracle": oracle, "abs_error": err}), flush=True)
+        errs = np.asarray(errs)
+        summary[name] = {
+            "mean_y0": float(np.mean(y0s)), "std_y0": float(np.std(y0s)),
+            "mean_err": float(errs.mean()), "max_err": float(errs.max()),
+            "pass_rate_1e-3": float((errs <= 1e-3).mean()),
+        }
+        print(json.dumps({"summary": name, **summary[name]}), flush=True)
+    print(json.dumps({"all": summary}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

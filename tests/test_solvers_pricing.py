@@ -146,3 +146,24 @@ def test_chunked_quadrature_sweep_matches_unchunked(rng_key):
     va = float(jax.jit(base.build_loss(16))(params, rng_key))
     vb = float(jax.jit(chunked.build_loss(16))(params, rng_key))
     assert va == pytest.approx(vb, rel=1e-6)
+
+
+def test_warm_start_y0(rng_key):
+    """warm_start_y0 puts the trainable scalar near the uncoupled price (the
+    reference's std-1 normal init lands far away ~1/3 of the time)."""
+    model = tiny_merton(n_steps=8)
+    solver = PricingSolver(model, "global", hidden=(8, 8),
+                           compensator=SMALL_QUAD)
+    params = solver.init_params(rng_key)
+    warmed = solver.warm_start_y0(params, rng_key, batch=8192)
+    y0 = float(warmed["uz"]["y0"])
+    # coarse sanity: a positive call price in a plausible band, and only y0
+    # changed
+    assert 0.0 < y0 < 1.0
+    for name in ("W", "b"):
+        for a, b in zip(params["uz"][name], warmed["uz"][name]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    with pytest.raises(ValueError):
+        s2 = PricingSolver(model, "multistep1", hidden=(8, 8),
+                           compensator=SMALL_QUAD)
+        s2.warm_start_y0(s2.init_params(rng_key), rng_key)
