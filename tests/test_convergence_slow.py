@@ -39,3 +39,19 @@ def _run(gate):
 def test_merton_speed_gate():
     record = _run("merton_speed")
     assert record["abs_error"] <= 1e-3
+
+
+def test_vg_global_uncoupled_gate():
+    """VG Global (uncoupled) passes the 1e-3 gate vs the FFT oracle — 5/5
+    seeds in the round-2 study; this re-runs seed 0 (BASELINE.md VG note)."""
+    import sys
+
+    sys.path.insert(0, ".")
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "gate_vg_study", "scripts/gate_vg_study.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    y0, err, oracle = mod.run_once(0, a_lin=0.0)
+    assert err <= 1e-3, (y0, oracle)
