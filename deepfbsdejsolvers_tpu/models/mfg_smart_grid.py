@@ -93,15 +93,21 @@ class SmartGridMFGModel:
     jump_model: str = "stochastic"   # 'stochastic' (Cox) | 'constant'
     coeff_equi: float = 1.0          # 1 = MFG, 2 = aggregate MFC
     # "exact" uses jax.random.poisson (rejection loops — slow for the Cox
-    # case where every path has its own rate); "icdf" inverts the Poisson
-    # CDF via the pmf recurrence p_k = p_{k-1}·λdt/k.  ``icdf_k_max`` is a
-    # *floor* on the truncation depth: the effective depth is derived at
-    # construction from a static bound on λ·dt (the Cox intensity
-    # β(e^{α·hQ}-1) spans orders of magnitude over the daily profile — λ·dt
-    # ≈ 25 near the consumption peak at the comparison config) so the
-    # truncated tail mass stays < 1e-6 whatever the state.
+    # case where every path has its own rate); "icdf" is a static-depth
+    # hybrid: paths with λ·dt ≤ ``icdf_switch`` invert the Poisson CDF via
+    # the pmf recurrence p_k = p_{k-1}·λdt/k (depth derived at construction
+    # so the truncated tail mass at the switch point is < ``icdf_tail_tol``);
+    # paths above the switch use the normal (CLT) approximation
+    # round(λdt + √λdt·Z)⁺ — necessary as well as adequate there, because
+    # the f32 recurrence seed e^{-λdt} underflows beyond λdt ≈ 80 while the
+    # CLT relative error shrinks like 1/√λdt.  The Cox intensity
+    # β(e^{α·hQ}-1) spans orders of magnitude over the daily profile (λ·dt
+    # ≈ 25 on the mean path at the consumption peak at the comparison
+    # config), so a pure truncated recurrence cannot be made correct.
+    # ``icdf_k_max`` is a floor on the derived recurrence depth.
     jump_sampler: str = "exact"
     icdf_k_max: int = 12
+    icdf_switch: float = 32.0
     icdf_tail_tol: float = 1e-6
 
     def __post_init__(self):
@@ -122,16 +128,11 @@ class SmartGridMFGModel:
         object.__setattr__(self, "_dt", float(dt))
         object.__setattr__(self, "_q_aver", jnp.asarray(q, jnp.float32))
         object.__setattr__(self, "_mean_hq", jnp.asarray(mean_hq, jnp.float32))
-        # Effective icdf truncation depth from a static λ·dt bound: hQ is
-        # OU-reverting to the profile with common-noise vol sig0, bounded by
-        # max(QAver) + 4·sig0·√T (the reversion-free random-walk envelope —
-        # conservative).  Smallest k with Poisson(λ_max·dt) tail < tol.
-        if self.jump_model == "stochastic":
-            hq_bound = float(q.max()) + 4.0 * self.sig0 * np.sqrt(self.T)
-            lam_bound = self.beta * (np.exp(self.alpha * hq_bound) - 1.0)
-        else:
-            lam_bound = self.jump_factor
-        lam_dt_bound = max(float(lam_bound) * dt, 0.0)
+        # Recurrence depth for the icdf sampler: smallest k whose Poisson
+        # tail mass at the switch intensity is < tol (paths above the switch
+        # take the CLT branch in sample_dN, so the switch bounds the
+        # recurrence's λ·dt regardless of the Cox state).
+        lam_dt_bound = max(float(self.icdf_switch), 0.0)
         p = np.exp(-lam_dt_bound)
         cdf, k = p, 0
         while cdf < 1.0 - self.icdf_tail_tol and k < 1024:
@@ -180,14 +181,22 @@ class SmartGridMFGModel:
         inverts the per-path CDF with a static-depth pmf recurrence."""
         lam_dt = self.intensity(state) * self._dt
         if self.jump_sampler == "icdf":
-            u = jax.random.uniform(key, lam_dt.shape, jnp.float32)
-            p = jnp.exp(-lam_dt)                 # P(N = 0)
+            ku, kz = jax.random.split(key)
+            u = jax.random.uniform(ku, lam_dt.shape, jnp.float32)
+            # recurrence branch: λdt clipped at the switch so p never
+            # underflows; those paths are overwritten by the CLT branch
+            lam_rec = jnp.minimum(lam_dt, self.icdf_switch)
+            p = jnp.exp(-lam_rec)                # P(N = 0)
             cdf = p
             dn = jnp.zeros_like(lam_dt)
             for k in range(1, self._icdf_k_eff + 1):
                 dn = dn + (u > cdf)              # one count per CDF level passed
-                p = p * lam_dt / k
+                p = p * lam_rec / k
                 cdf = cdf + p
+            # CLT branch for high-intensity paths (relative error ~ 1/sqrt(λdt))
+            z = jax.random.normal(kz, lam_dt.shape, jnp.float32)
+            dn_big = jnp.round(jnp.maximum(lam_dt + jnp.sqrt(lam_dt) * z, 0.0))
+            dn = jnp.where(lam_dt > self.icdf_switch, dn_big, dn)
             return dn, lam_dt
         dn = jax.random.poisson(key, lam_dt).astype(jnp.float32)
         return dn, lam_dt
