@@ -108,7 +108,7 @@ def build(batch: int, compensator: str, parity: bool, model_name: str = "merton"
 
 def measure(batch: int, inner: int, rounds: int, compensator: str,
             parity: bool = False, model_name: str = "merton",
-            sweep: str = None) -> dict:
+            sweep: str = None, rng: str = "threefry") -> dict:
     import jax
 
     from deepfbsdejsolvers_tpu.solvers.train import make_epoch_fn
@@ -116,7 +116,11 @@ def measure(batch: int, inner: int, rounds: int, compensator: str,
     model, solver, params, optimizer, opt_state, loss_fn = build(
         batch, compensator, parity, model_name, sweep)
     epoch = make_epoch_fn(loss_fn, optimizer, inner)
-    key = jax.random.key(1)
+    # "rbg": hardware-counter PRNG — ~+10% throughput at 2^17 (threefry's
+    # per-draw ALU work is a real cost in this RNG-heavy loop); kept opt-in
+    # because rbg's fold_in/split have weaker statistical guarantees.
+    key = (jax.random.key(1, impl="rbg") if rng == "rbg"
+           else jax.random.key(1))
     # compile + 2 warmup epochs (the first post-compile epoch runs ~2x slow
     # one time — autotune/upload effects — and must not pollute the measure)
     for w in range(2):
@@ -162,6 +166,8 @@ def main():
     p.add_argument("--sweep", choices=["xla", "pallas"], default=None,
                    help="parity-mode compensator sweep implementation "
                         "(default: pallas on TPU, xla elsewhere)")
+    p.add_argument("--rng", choices=["threefry", "rbg"], default="threefry",
+                   help="PRNG implementation (rbg: ~+10%% on TPU, opt-in)")
     p.add_argument("--anchor", action="store_true",
                    help="measure the CPU anchor and write bench_baseline.json")
     args = p.parse_args()
@@ -185,7 +191,7 @@ def main():
         return
 
     res = measure(args.batch, args.inner, args.rounds, args.compensator,
-                  args.parity, args.model, args.sweep)
+                  args.parity, args.model, args.sweep, args.rng)
     vs = None
     if args.model == "merton" and os.path.exists(ANCHOR_FILE):
         with open(ANCHOR_FILE) as f:
