@@ -94,3 +94,17 @@ def test_cli_parser_reference_flags():
     a = p.parse_args(["mfg-poa", "--jumpFac", "12", "--couplage", "OFF",
                       "--method", "Global", "--piList", "0.0", "0.5"])
     assert a.couplage == "OFF" and a.piList == [0.0, 0.5]
+
+
+def test_cli_parser_round2_flags():
+    """Round-2 flags: data-parallel, Y0 readout/init, sweep impl, NaN guard."""
+    from deepfbsdejsolvers_tpu.experiments.cli import build_parser
+
+    p = build_parser()
+    a = p.parse_args(["merton", "--dataParallel", "--y0TailAvg", "6",
+                      "--y0WarmStart", "--sweepImpl", "pallas",
+                      "--debugNans"])
+    assert a.dataParallel and a.y0WarmStart and a.debugNans
+    assert a.y0TailAvg == 6 and a.sweepImpl == "pallas"
+    a = p.parse_args(["mfg-compare", "--dataParallel"])
+    assert a.dataParallel
