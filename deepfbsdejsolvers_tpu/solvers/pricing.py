@@ -33,8 +33,10 @@ the time feature fed to the nets is the *raw step index* i (not i·dt); the
 sumlocal variants evaluate the step-(i+1) state with time feature i; the
 pure-jump global solver trains only the Γ-net, which also carries Y0.
 
-TPU-first: the time loop is a single ``lax.scan``; per-step RNG comes from
-``fold_in(key, i)``; everything compiles to one XLA program.
+TPU-first: the time loop is a single ``lax.scan``; ALL rollout noise is drawn
+in three batched (N, B) kernels before the scan (``_prenoise`` — per-step RNG
+kernels are both launch overhead and backward-pass recompute under remat);
+everything compiles to one XLA program.
 """
 
 from __future__ import annotations
@@ -409,15 +411,31 @@ class PricingSolver:
         return self._name_heads(gam, comp)
 
     # ---------------------------------------------------------------- rollout
-    def _draws(self, key, i, batch):
-        """Per-step noise: dW (jump-diff only), realized jumps, MC subkey."""
-        key_i = jax.random.fold_in(key, i)
-        kd, kj, km = jax.random.split(key_i, 3)
+    def _prenoise(self, key, batch, rows=None):
+        """All rollout noise drawn in three BATCHED kernels before the scan.
+
+        Per-step RNG inside the scan body costs several small kernels per
+        step AND is re-executed by the rematerialized backward pass; drawing
+        (N, B) tensors up front replaces that with three large kernels whose
+        outputs are scan inputs (stored, never recomputed).  ~105 MB at the
+        2^17 headline batch — noise, not activations, so remat is unaffected.
+
+        Returns (dw, j, kms): dw (rows, B) Brownian increments (zero-width
+        (rows, 0) for pure-jump — scan still threads it, at no cost), j
+        (rows, B) realized jumps, kms (rows,) per-step subkeys for the MC
+        compensator's node draws (kept as keys: the sharded MC path folds
+        the shard index in per step)."""
+        rows = self.model.N if rows is None else rows
+        kd, kj, km = jax.random.split(key, 3)
         dt = self.model.dt
-        dw = (np.sqrt(dt) * jax.random.normal(kd, (batch,), jnp.float32)
-              if self.jump_diff else None)
-        j = self.model.sample_jumps(kj, (batch,))
-        return dw, j, km
+        if self.jump_diff:
+            dw = np.sqrt(dt) * jax.random.normal(kd, (rows, batch),
+                                                 jnp.float32)
+        else:
+            dw = jnp.zeros((rows, 0), jnp.float32)
+        j = self.model.sample_jumps(kj, (rows, batch))
+        kms = jax.random.split(km, rows)
+        return dw, j, kms
 
     def _fstep(self, i, x, dw, j, y):
         """Forward SDE step, dispatching on regime (pure-jump drops dW:
@@ -465,10 +483,11 @@ class PricingSolver:
             x = model.init_x(batch)
             y0 = params["uz" if self.jump_diff else "gam"]["y0"]
             y = y0 * jnp.ones((batch,), jnp.float32)
+            noise = self._prenoise(key, batch)
 
-            def body(carry, i):
+            def body(carry, xs):
                 x, y = carry
-                dw, j, km = self._draws(key, i, batch)
+                i, dw, j, km = xs
                 gam, comp = self._gamma_and_compensator(params, i, x, j, km)
                 y = y - dt * model.f(y) + gam - comp
                 if self.jump_diff:
@@ -477,7 +496,8 @@ class PricingSolver:
                 x = self._fstep(i, x, dw, j, y)
                 return (x, y), None
 
-            (x, y), _ = jax.lax.scan(self._maybe_remat(body), (x, y), jnp.arange(N))
+            (x, y), _ = jax.lax.scan(self._maybe_remat(body), (x, y),
+                                     (jnp.arange(N),) + noise)
             return jnp.mean(jnp.square(y - model.payoff(x)))
 
         return loss
@@ -488,9 +508,10 @@ class PricingSolver:
 
         def loss(params, key):
             x = model.init_x(batch)
+            noise = self._prenoise(key, batch)
 
-            def body(x, i):
-                dw, j, km = self._draws(key, i, batch)
+            def body(x, xs):
+                i, dw, j, km = xs
                 out = self._uz(params, i, x)
                 y = out[..., 0]
                 to_add = -dt * model.f(y)
@@ -502,7 +523,8 @@ class PricingSolver:
                 x = self._fstep(i, x, dw, j, y)
                 return x, (y, to_add)
 
-            x, (ys, adds) = jax.lax.scan(self._maybe_remat(body), x, jnp.arange(N))
+            x, (ys, adds) = jax.lax.scan(self._maybe_remat(body), x,
+                                         (jnp.arange(N),) + noise)
             y_final = model.payoff(x)
             fwd = ys + _suffix_sum(adds)           # (N, B)
             # Reference reduction is MEAN over steps: the outer reduce_sum at
@@ -538,15 +560,16 @@ class PricingSolver:
 
         def loss(params, key):
             x = model.init_x(batch)
-            # Pre-loop draws and heads (SolversJumpDiff.py:239-247).
-            key0 = jax.random.fold_in(key, N)  # distinct from in-loop folds
-            kj0, km0 = jax.random.split(key0)
-            j = self.model.sample_jumps(kj0, (batch,))
-            y_prev, z_prev, gam_prev, comp_prev = heads(params, 0, x, j, km0)
+            # Row N of the pre-drawn noise serves the pre-loop draws
+            # (SolversJumpDiff.py:239-247); rows 0..N-1 feed the scan.
+            dw_all, j_all, km_all = self._prenoise(key, batch, rows=N + 1)
+            j = j_all[N]
+            y_prev, z_prev, gam_prev, comp_prev = heads(params, 0, x, j,
+                                                        km_all[N])
 
-            def body(carry, i):
+            def body(carry, xs):
                 x, j, y_prev, z_prev, gam_prev, comp_prev = carry
-                dw, j_next, km = self._draws(key, i, batch)
+                i, dw, j_next, km = xs
                 to_add = dt * model.f(y_prev) - gam_prev + comp_prev
                 if with_heads and self.jump_diff:
                     to_add = to_add - z_prev * dw
@@ -560,7 +583,9 @@ class PricingSolver:
                 return (x, j_next, y_next, z_n, gam_n, comp_n), err
 
             carry = (x, j, y_prev, z_prev, gam_prev, comp_prev)
-            _, errs = jax.lax.scan(self._maybe_remat(body), carry, jnp.arange(N))
+            _, errs = jax.lax.scan(
+                self._maybe_remat(body), carry,
+                (jnp.arange(N), dw_all[:N], j_all[:N], km_all[:N]))
             return jnp.sum(errs)
 
         return loss
@@ -636,9 +661,11 @@ class PricingSolver:
         y = (params["uz" if self.jump_diff else "gam"]["y0"]
              * jnp.ones((batch,), jnp.float32))
 
-        def body(carry, i):
+        noise = self._prenoise(key, batch)
+
+        def body(carry, xs):
             x, y = carry
-            dw, j, km = self._draws(key, i, batch)
+            i, dw, j, km = xs
             gam, comp = self._gamma_and_compensator(params, i, x, j, km)
             y_n = y - dt * model.f(y) + gam - comp
             if self.jump_diff:
@@ -647,7 +674,8 @@ class PricingSolver:
             x_n = self._fstep(i, x, dw, j, y_n)
             return (x_n, y_n), (x, y)
 
-        (x, y), (xs, ys) = jax.lax.scan(body, (x, y), jnp.arange(N))
+        (x, y), (xs, ys) = jax.lax.scan(body, (x, y),
+                                        (jnp.arange(N),) + noise)
         xs = jnp.concatenate([xs, x[None]], 0)
         ys = jnp.concatenate([ys, y[None]], 0)
         return xs, ys
