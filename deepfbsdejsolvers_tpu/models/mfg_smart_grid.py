@@ -183,22 +183,31 @@ class SmartGridMFGModel:
         if self.jump_sampler == "icdf":
             ku, kz = jax.random.split(key)
             u = jax.random.uniform(ku, lam_dt.shape, jnp.float32)
-            # recurrence branch: λdt clipped at the switch so p never
-            # underflows; those paths are overwritten by the CLT branch
-            lam_rec = jnp.minimum(lam_dt, self.icdf_switch)
-            p = jnp.exp(-lam_rec)                # P(N = 0)
-            cdf = p
-            dn = jnp.zeros_like(lam_dt)
-            for k in range(1, self._icdf_k_eff + 1):
-                dn = dn + (u > cdf)              # one count per CDF level passed
-                p = p * lam_rec / k
-                cdf = cdf + p
-            # CLT branch for high-intensity paths (relative error ~ 1/sqrt(λdt))
             z = jax.random.normal(kz, lam_dt.shape, jnp.float32)
-            dn_big = jnp.round(jnp.maximum(lam_dt + jnp.sqrt(lam_dt) * z, 0.0))
-            dn = jnp.where(lam_dt > self.icdf_switch, dn_big, dn)
-            return dn, lam_dt
+            return self.sample_dN_from(u, z, state)
         dn = jax.random.poisson(key, lam_dt).astype(jnp.float32)
+        return dn, lam_dt
+
+    def sample_dN_from(self, u: jax.Array, z: jax.Array,
+                       state: MFGState) -> Tuple[jax.Array, jax.Array]:
+        """icdf-mode dN from PRE-DRAWN uniforms/normals (the Cox rate depends
+        on the state, so dN itself cannot be drawn ahead of the rollout — but
+        its underlying u/z can, letting solvers hoist all RNG out of the
+        scan).  Same hybrid law as :meth:`sample_dN`."""
+        lam_dt = self.intensity(state) * self._dt
+        # recurrence branch: λdt clipped at the switch so p never
+        # underflows; those paths are overwritten by the CLT branch
+        lam_rec = jnp.minimum(lam_dt, self.icdf_switch)
+        p = jnp.exp(-lam_rec)                # P(N = 0)
+        cdf = p
+        dn = jnp.zeros_like(lam_dt)
+        for k in range(1, self._icdf_k_eff + 1):
+            dn = dn + (u > cdf)              # one count per CDF level passed
+            p = p * lam_rec / k
+            cdf = cdf + p
+        # CLT branch for high-intensity paths (relative error ~ 1/sqrt(λdt))
+        dn_big = jnp.round(jnp.maximum(lam_dt + jnp.sqrt(lam_dt) * z, 0.0))
+        dn = jnp.where(lam_dt > self.icdf_switch, dn_big, dn)
         return dn, lam_dt
 
     # ---- controls ----------------------------------------------------------

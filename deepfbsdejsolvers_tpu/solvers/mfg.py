@@ -107,14 +107,32 @@ class MFGSolver:
                          self._act, compute_dtype=self._compute_dtype)
 
     # ---------------------------------------------------------------- noise
-    def _draws(self, key, i, batch, state):
-        key_i = jax.random.fold_in(key, i)
-        k0, k1, kn = jax.random.split(key_i, 3)
+    def _prenoise(self, key, batch, rows=None):
+        """All rollout noise drawn in batched kernels before the scan (the
+        pricing-side rationale applies: per-step RNG kernels are launch
+        overhead + backward-pass recompute under remat).  The Cox dN itself
+        depends on the state and cannot be pre-drawn — its underlying
+        uniforms/normals are (icdf mode); exact mode keeps per-step subkeys
+        for jax.random.poisson's state-dependent rates."""
+        rows = self.model.N if rows is None else rows
+        k0, k1, kn = jax.random.split(key, 3)
         sdt = np.sqrt(self.model.dt)
-        dw0 = sdt * jax.random.normal(k0, (batch,), jnp.float32)
-        dw = sdt * jax.random.normal(k1, (batch,), jnp.float32)
-        dn, compens = self.model.sample_dN(kn, state)
-        return dw0, dw, dn, compens
+        dw0 = sdt * jax.random.normal(k0, (rows, batch), jnp.float32)
+        dw = sdt * jax.random.normal(k1, (rows, batch), jnp.float32)
+        if self.model.jump_sampler == "icdf":
+            ku, kz = jax.random.split(kn)
+            jn = (jax.random.uniform(ku, (rows, batch), jnp.float32),
+                  jax.random.normal(kz, (rows, batch), jnp.float32))
+        else:
+            jn = jax.random.split(kn, rows)
+        return dw0, dw, jn
+
+    def _dn(self, jn_i, state):
+        """Per-step (dN, compensator) from one row of the pre-drawn noise."""
+        if self.model.jump_sampler == "icdf":
+            u, z = jn_i
+            return self.model.sample_dN_from(u, z, state)
+        return self.model.sample_dN(jn_i, state)
 
     def _maybe_remat(self, body):
         return jax.checkpoint(body) if self.remat else body
@@ -143,13 +161,16 @@ class MFGSolver:
             h_y = params["hat"]["y0"] * ones
             y = params["full"]["y0"] * ones
 
-            def body(carry, i):
+            noise = self._prenoise(key, batch)
+
+            def body(carry, xs):
                 state, h_y, y = carry
+                i, dw0, dw, jn = xs
                 h_out = self._hat(params, state)
                 f_out = self._full(params, state)
                 hz0, hgam = h_out[..., 0], h_out[..., 1]
                 z0, gam, z = f_out[..., 0], f_out[..., 1], f_out[..., 2]
-                dw0, dw, dn, compens = self._draws(key, i, batch, state)
+                dn, compens = self._dn(jn, state)
                 dpi = dn - compens
                 h_y_next = h_y - dt * model.f(state.hS) + hz0 * dw0 + hgam * dpi
                 y_next = (y - dt * model.f(state.S) + z0 * dw0 + gam * dpi
@@ -158,7 +179,8 @@ class MFGSolver:
                 return (state, h_y_next, y_next), None
 
             (state, h_y, y), _ = jax.lax.scan(
-                self._maybe_remat(body), (state, h_y, y), jnp.arange(N))
+                self._maybe_remat(body), (state, h_y, y),
+                (jnp.arange(N),) + noise)
             loss_hat = jnp.mean(jnp.square(h_y - model.g(state.hS)))
             loss_full = jnp.mean(jnp.square(y - model.g(state.S)))
             return loss_hat, loss_full
@@ -171,11 +193,14 @@ class MFGSolver:
         def pair(params, key):
             state = model.init_state(batch)
 
-            def body(state, i):
+            noise = self._prenoise(key, batch)
+
+            def body(state, xs):
+                i, dw0, dw, jn = xs
                 h_out = self._hat(params, state)
                 f_out = self._full(params, state)
                 h_y, y = h_out[..., 0], f_out[..., 0]
-                dw0, dw, dn, compens = self._draws(key, i, batch, state)
+                dn, compens = self._dn(jn, state)
                 to_add_hat = -dt * model.f(state.hS)
                 to_add = -dt * model.f(state.S)
                 if with_heads:
@@ -187,7 +212,7 @@ class MFGSolver:
                 return state, (h_y, y, to_add_hat, to_add)
 
             state, (h_ys, ys, adds_hat, adds) = jax.lax.scan(
-                self._maybe_remat(body), state, jnp.arange(N))
+                self._maybe_remat(body), state, (jnp.arange(N),) + noise)
             yf_hat = model.g(state.hS)
             yf = model.g(state.S)
             fwd_hat = h_ys + _suffix_sum(adds_hat)
@@ -220,10 +245,13 @@ class MFGSolver:
             h_out = self._hat(params, state)
             f_out = self._full(params, state)
 
-            def body(carry, i):
+            noise = self._prenoise(key, batch)
+
+            def body(carry, xs):
                 state, h_out, f_out = carry
+                i, dw0, dw, jn = xs
                 h_y_prev, y_prev = h_out[..., 0], f_out[..., 0]
-                dw0, dw, dn, compens = self._draws(key, i, batch, state)
+                dn, compens = self._dn(jn, state)
                 to_add_hat = dt * model.f(state.hS)
                 to_add = dt * model.f(state.S)
                 if with_heads:
@@ -244,7 +272,8 @@ class MFGSolver:
                 return (state, h_out_n, f_out_n), (err_hat, err)
 
             _, (errs_hat, errs) = jax.lax.scan(
-                self._maybe_remat(body), (state, h_out, f_out), jnp.arange(N))
+                self._maybe_remat(body), (state, h_out, f_out),
+                (jnp.arange(N),) + noise)
             return jnp.sum(errs_hat), jnp.sum(errs)
 
         return pair
@@ -347,11 +376,14 @@ class MFGSolver:
             h_y = self._hat(params, state)[..., 0]
             y = self._full(params, state)[..., 0]
 
-        def body(carry, i):
+        noise = self._prenoise(key, batch)
+
+        def body(carry, xs):
             state, h_y, y, cost_hat, cost = carry
+            i, dw0, dw, jn = xs
             cost_hat = cost_hat + dt * model.f(state.hS)
             cost = cost + dt * model.f(state.S)
-            dw0, dw, dn, compens = self._draws(key, i, batch, state)
+            dn, compens = self._dn(jn, state)
             if is_global:
                 h_out = self._hat(params, state)
                 f_out = self._full(params, state)
@@ -368,7 +400,7 @@ class MFGSolver:
 
         zeros = jnp.zeros((batch,), jnp.float32)
         (state, h_y, y, cost_hat, cost), _ = jax.lax.scan(
-            body, (state, h_y, y, zeros, zeros), jnp.arange(N))
+            body, (state, h_y, y, zeros, zeros), (jnp.arange(N),) + noise)
         cost_hat = cost_hat + model.g(state.hS)
         cost = cost + model.g(state.S)
         err = (jnp.mean(jnp.square(h_y - model.g(state.hS)))
@@ -388,11 +420,14 @@ class MFGSolver:
             h_y = self._hat(params, state)[..., 0]
             y = self._full(params, state)[..., 0]
 
-        def body(carry, i):
+        noise = self._prenoise(key, batch)
+
+        def body(carry, xs):
             state, h_y, y = carry
+            i, dw0, dw, jn = xs
             stats = (jnp.mean(state.hS), jnp.std(state.hS),
                      jnp.mean(state.S), jnp.std(state.S))
-            dw0, dw, dn, compens = self._draws(key, i, batch, state)
+            dn, compens = self._dn(jn, state)
             if self.scheme == "global":
                 h_out = self._hat(params, state)
                 f_out = self._full(params, state)
@@ -407,7 +442,8 @@ class MFGSolver:
                 y_next = self._full(params, state)[..., 0]
             return (state, h_y_next, y_next), stats
 
-        (state, h_y, y), stats = jax.lax.scan(body, (state, h_y, y), jnp.arange(N))
+        (state, h_y, y), stats = jax.lax.scan(body, (state, h_y, y),
+                                              (jnp.arange(N),) + noise)
         last = (jnp.mean(state.hS), jnp.std(state.hS),
                 jnp.mean(state.S), jnp.std(state.S))
         out = [jnp.concatenate([s, l[None]]) for s, l in zip(stats, last)]
