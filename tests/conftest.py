@@ -15,7 +15,12 @@ os.environ["XLA_FLAGS"] = (
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# FBSDEJ_TPU_TESTS=1 keeps the real accelerator visible — ONLY for the
+# single-device slow convergence gates (tests/test_convergence_slow.py,
+# minutes on TPU vs tens of minutes on CPU).  The multi-device SPMD tests
+# need the virtual 8-CPU mesh and are skipped in that mode.
+if os.environ.get("FBSDEJ_TPU_TESTS") != "1":
+    jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 

@@ -1,10 +1,13 @@
 """Full convergence gates — deselected by default (pyproject addopts
 ``-m 'not slow and not tpu'``).  Run explicitly with::
 
-    python -m pytest tests/test_convergence_slow.py -m slow --no-header -q
+    FBSDEJ_TPU_TESTS=1 python -m pytest tests/test_convergence_slow.py \
+        -m slow --no-header -q
 
 or reproduce the same matrix standalone via scripts/convergence_gates.py.
-On CPU each gate takes tens of minutes; on TPU ~2-3 minutes.
+``FBSDEJ_TPU_TESTS=1`` keeps the real chip visible (conftest.py otherwise
+forces the virtual CPU mesh): ~3-8 minutes per gate on TPU vs tens of
+minutes on CPU.
 """
 
 import pytest

@@ -22,6 +22,12 @@ from deepfbsdejsolvers_tpu.solvers.train import make_adam
 
 SMALL_QUAD = CompensatorSpec(kind="quadrature", n_poisson_max=3, n_hermite=4)
 
+# Under FBSDEJ_TPU_TESTS=1 (conftest.py) the real single chip is visible and
+# the virtual 8-CPU mesh is not provisioned — the SPMD tests need it.
+pytestmark = pytest.mark.skipif(
+    jax.device_count() < 8,
+    reason="needs the 8-device virtual CPU mesh (unset FBSDEJ_TPU_TESTS)")
+
 
 def tiny_model(n=4):
     return MertonJumpModel(T=1.0, N=n, r=0.1, muJ=0.0, sigJ=0.2, sigma=0.3,
