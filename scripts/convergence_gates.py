@@ -68,6 +68,41 @@ def run_gate(name, model, oracle, scheme, batch=8192,
     return record
 
 
+def run_extrapolated_gate(oracle, compensator, seeds=3, a_lin=0.1,
+                          peak_lr=3e-3, steps=2400, tail=12, batch=8192):
+    """Richardson-extrapolated coupled-Global gate: per seed, train the
+    Global scheme at aLin and aLin/2 (warm Y0 start) and report
+    2*Y0(aLin/2) - Y0(aLin) — the coupling-rectification bias is linear in
+    aLin (BASELINE.md), so the extrapolation cancels it."""
+    import optax
+
+    errs, y0s = [], []
+    num_epoch = 400
+    for seed in range(seeds):
+        pair = []
+        for a in (a_lin / 2, a_lin):
+            model = make_merton_default(a_lin=a, jump_sampler="icdf",
+                                        price_mode="chebyshev")
+            solver = PricingSolver(model, "global", compensator=compensator)
+            params = solver.init_params(jax.random.key(seed))
+            params = solver.warm_start_y0(params, jax.random.key(9000 + seed))
+            res = fit(loss_fn=solver.build_loss(batch), params=params,
+                      key=jax.random.key(1 + 100 * seed),
+                      lrate=optax.cosine_decay_schedule(peak_lr, steps),
+                      num_epoch=num_epoch, num_epoch_ext=steps // num_epoch,
+                      y0_fn=solver.y0_estimate, verbose=False)
+            pair.append(float(np.mean(res.y0_history[-max(tail // 4, 2):])))
+        y0 = 2.0 * pair[0] - pair[1]
+        y0s.append(y0)
+        errs.append(abs(y0 - oracle))
+    record = {"gate": "merton_global_extrapolated", "y0": y0s,
+              "oracle": oracle, "abs_error": max(errs),
+              "mean_error": float(np.mean(errs)),
+              "pass_1e-3": max(errs) <= 1e-3}
+    print(json.dumps(record), flush=True)
+    return record
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("gates", nargs="*", default=["merton_speed"])
@@ -103,6 +138,11 @@ def main():
             "merton_coupled_diag",
             make_merton_default(jump_sampler="icdf", price_mode="chebyshev"),
             merton_oracle, "multistep1", compensator=cheb64, seeds=3),
+        # Gate-closing technique for the COUPLED Global scheme: the
+        # coupling-rectification bias is linear in aLin (BASELINE.md floor
+        # analysis), so 2*Y0(aLin/2) - Y0(aLin) cancels it.
+        "merton_global_extrapolated": lambda: run_extrapolated_gate(
+            merton_oracle, cheb64, seeds=3),
         # Reference-faithful numerics on the same budget.
         "merton_direct": lambda: run_gate(
             "merton_direct", merton, merton_oracle, "multistep1",
