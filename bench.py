@@ -163,24 +163,37 @@ def _run_with_watchdog(argv, timeout_s: int = 420, retries: int = 2) -> int:
     import time as _time
 
     env = dict(os.environ, **{_CHILD_ENV: "1"})
+    rc = 1
     for attempt in range(retries + 1):
+        t_start = _time.monotonic()
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)] + argv,
                 env=env, timeout=timeout_s, text=True, capture_output=True)
-        except subprocess.TimeoutExpired:
+        except subprocess.TimeoutExpired as e:
+            # surface whatever the stalled child managed to print
+            for stream, out in (("stdout", e.stdout), ("stderr", e.stderr)):
+                if out:
+                    text = out.decode() if isinstance(out, bytes) else out
+                    sys.stderr.write(f"# timed-out child {stream}:\n{text}\n")
             print(f"# bench attempt {attempt + 1} timed out after "
                   f"{timeout_s}s (tunnel stall?) — retrying", file=sys.stderr)
             _time.sleep(60)  # let the remote worker release the session
             continue
         sys.stdout.write(proc.stdout)
         sys.stderr.write(proc.stderr)
-        if proc.returncode == 0:
+        rc = proc.returncode
+        if rc == 0:
             return 0
-        print(f"# bench attempt {attempt + 1} rc={proc.returncode}",
-              file=sys.stderr)
+        if _time.monotonic() - t_start < 30:
+            # fast failure = deterministic (bad flags, import error) — a
+            # retry would just repeat it
+            print(f"# bench child failed fast (rc={rc}) — not retrying",
+                  file=sys.stderr)
+            return rc
+        print(f"# bench attempt {attempt + 1} rc={rc}", file=sys.stderr)
         _time.sleep(30)
-    return 1
+    return rc
 
 
 def main():

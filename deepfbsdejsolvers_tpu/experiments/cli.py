@@ -74,11 +74,12 @@ def _add_pricing_flags(p: argparse.ArgumentParser, lr_y0, lr_loc, lr_reg,
                    choices=["quadrature", "mc"],
                    help="inner jump-expectation mode (reference = mc 5000)")
     p.add_argument("--nMC", type=int, default=5000)
-    p.add_argument("--sweepImpl", type=str, default="xla",
+    p.add_argument("--sweepImpl", type=str, default=None,
                    choices=["xla", "pallas"],
                    help="compensator sweep implementation; 'pallas' is the "
-                        "fused MXU kernel (TPU, fastest direct-sweep path: "
-                        "2.6x on quadrature, 4.5x on MC-5000)")
+                        "fused MXU kernel (fastest direct-sweep path: 2.6x on "
+                        "quadrature, 4.5x on MC-5000). Default: pallas on "
+                        "TPU, xla elsewhere — same policy as bench.py")
     p.add_argument("--dataParallel", action="store_true",
                    help="shard the path batch over all visible chips "
                         "(1-D data mesh, gradient all-reduce over ICI); "
@@ -98,6 +99,17 @@ def _add_pricing_flags(p: argparse.ArgumentParser, lr_y0, lr_loc, lr_reg,
                         "tests/test_fast_paths.py")
 
 
+def _resolve_sweep_impl(choice):
+    """CLI default for --sweepImpl: the measured-fastest direct-sweep path on
+    the platform we are actually on (pallas on TPU, xla elsewhere) — the same
+    policy bench.py uses, so what the CLI runs is what the benchmark claims."""
+    if choice is not None:
+        return choice
+    import jax
+
+    return "pallas" if jax.devices()[0].platform == "tpu" else "xla"
+
+
 def _pricing_common(args) -> dict:
     fast = {}
     if args.fast:
@@ -112,7 +124,7 @@ def _pricing_common(args) -> dict:
         lrate_loc=args.lRateLoc, lrate_reg=args.lRateReg,
         activation=args.activation, a_lin=args.aLin, methods=args.methods,
         compensator=args.compensator, n_mc=args.nMC, seed=args.seed,
-        sweep_impl=args.sweepImpl,
+        sweep_impl=_resolve_sweep_impl(args.sweepImpl),
         data_parallel=args.dataParallel, y0_tail_avg=args.y0TailAvg,
         y0_warm_start=args.y0WarmStart, io=_io_from_args(args), **fast,
     )
@@ -196,6 +208,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch", type=int, default=2**17)
     p.add_argument("--inner", type=int, default=10)
     p.add_argument("--rounds", type=int, default=3)
+    p.add_argument("--model", type=str, default="merton",
+                   choices=["merton", "vg", "mfg"])
+    p.add_argument("--parity", action="store_true",
+                   help="reference-faithful numerics instead of the speed "
+                        "config (see bench.py)")
+    p.add_argument("--compensator", type=str, default="quadrature",
+                   choices=["quadrature", "mc"])
+    p.add_argument("--sweep", type=str, default=None,
+                   choices=["xla", "pallas"])
+    p.add_argument("--rng", type=str, default="threefry",
+                   choices=["threefry", "rbg"])
 
     return parser
 
@@ -241,8 +264,10 @@ def _dispatch(args, verbose: bool) -> int:
                                   **_mfg_common(args))
         res = run_mfg_comparison(cfg, verbose=verbose)
         for m, r in res.methods.items():
+            cost = ("" if r.eval_cost is None
+                    else f"  cost={r.eval_cost:.4f}±{r.eval_ci:.4f}")
             print(f"{m}: Y0_hat={r.y0_hat_history[-1]:.6f}  "
-                  f"Y0={r.y0_history[-1]:.6f}")
+                  f"Y0={r.y0_history[-1]:.6f}{cost}")
     elif args.cmd == "mfg-poa":
         from deepfbsdejsolvers_tpu.experiments.mfg_poa import run_mfg_poa
 
@@ -265,9 +290,15 @@ def _dispatch(args, verbose: bool) -> int:
                   "source checkout (the benchmark script is not installed)",
                   file=sys.stderr)
             return 2
-        return subprocess.call(
-            [sys.executable, bench, "--batch", str(args.batch),
-             "--inner", str(args.inner), "--rounds", str(args.rounds)])
+        cmd = [sys.executable, bench, "--batch", str(args.batch),
+               "--inner", str(args.inner), "--rounds", str(args.rounds),
+               "--model", args.model, "--compensator", args.compensator,
+               "--rng", args.rng]
+        if args.parity:
+            cmd.append("--parity")
+        if args.sweep:
+            cmd += ["--sweep", args.sweep]
+        return subprocess.call(cmd)
     return 0
 
 

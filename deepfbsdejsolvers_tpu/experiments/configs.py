@@ -169,6 +169,10 @@ class MFGComparisonConfig(MFGConfigBase):
     """mainMFGComparison.py defaults (:13-31; price coefs :108)."""
 
     methods: Sequence[str] = MFG_METHODS
+    # Frozen-noise evaluation paths: every trained policy is replayed on ONE
+    # common frozen noise set and its objective cost ± 95% CI reported
+    # (0 = skip).  The reference parses nbSimulation but never uses it
+    # (mainMFGComparison.py:28,41) — this is its intended role.
     n_simulation: int = 10**5
     pi: float = 0.1
     p0: float = 6.159423723

@@ -34,6 +34,10 @@ class MFGMethodResult:
     y0_history: list
     loss_history: list
     params: dict
+    # players' objective cost (mean, 95% half-CI) over the common frozen-noise
+    # replay — None when config.n_simulation == 0
+    eval_cost: float = None
+    eval_ci: float = None
 
 
 @dataclasses.dataclass
@@ -71,6 +75,7 @@ def run_mfg_comparison(config: MFGComparisonConfig,
             print(f"data-parallel over {mesh.shape['data']} device(s)")
 
     results: Dict[str, MFGMethodResult] = {}
+    solvers: Dict[str, MFGSolver] = {}
     with trace_profile(io.profile_dir):
         for method in config.methods:
             if verbose:
@@ -80,6 +85,7 @@ def run_mfg_comparison(config: MFGComparisonConfig,
                                hidden_hat=config.hidden_hat, hidden=config.hidden,
                                activation_hat=config.activation_hat,
                                activation=config.activation)
+            solvers[method] = solver
             mlog = logger.child(method=method) if logger else None
             res = solver.train(
                 key=jax.random.key(config.seed), batch=config.batch_size,
@@ -98,6 +104,34 @@ def run_mfg_comparison(config: MFGComparisonConfig,
                 logger.log(event="method_done", method=method,
                            y0_hat=res.y0_hat_history[-1],
                            y0=res.y0_history[-1])
+
+    if config.n_simulation:
+        # The reference parses nbSimulation and only prints it
+        # (mainMFGComparison.py:28,41); give it its clearly-intended role —
+        # evaluate every trained policy's objective cost on ONE common
+        # frozen-noise set (MFGSolutions.py:103-111 semantics), so methods
+        # are compared pathwise on identical randomness.
+        from deepfbsdejsolvers_tpu.eval.mfg_solutions import (
+            FrozenNoise, MFGFixedTrajectoryEvaluator, draw_frozen_noise)
+
+        dw0, dws, dn = draw_frozen_noise(
+            model, jax.random.key(config.seed + 10_000), config.n_simulation)
+        noise = FrozenNoise(dW0=dw0, dW=dws[0], dN=dn)
+        half_ci = 1.96 / np.sqrt(config.n_simulation)
+        for method in config.methods:
+            ev = MFGFixedTrajectoryEvaluator(
+                solver=solvers[method], params=results[method].params,
+                noise=noise)
+            ev.simulate_all_processes(config.n_simulation)
+            cost, std = ev.objective_function()
+            results[method].eval_cost = cost
+            results[method].eval_ci = half_ci * std
+            if verbose:
+                print(f"{method}: frozen-noise cost {cost:.4f} "
+                      f"± {half_ci * std:.4f} ({config.n_simulation} paths)")
+            if logger:
+                logger.log(event="frozen_eval", method=method, cost=cost,
+                           ci=half_ci * std, n_sim=config.n_simulation)
 
     if io.outdir:
         # The CSVs the reference plots expect to exist (:146-147) — written

@@ -85,7 +85,10 @@ def _train_one(config, model, method: str, logger: Optional[MetricsLogger],
     key, k_init = jax.random.split(key)
     params = solver.init_params(k_init)
     if config.y0_warm_start and scheme == "global":
-        params = solver.warm_start_y0(params, jax.random.fold_in(key, 999))
+        # dedicated key: fit() folds per-epoch constants into `key`, so a
+        # fold_in(key, const) here could alias a training/validation batch
+        key, k_warm = jax.random.split(key)
+        params = solver.warm_start_y0(params, k_warm)
 
     io = config.io
     mgr = None

@@ -133,12 +133,26 @@ class SmartGridMFGModel:
         # take the CLT branch in sample_dN, so the switch bounds the
         # recurrence's λ·dt regardless of the Cox state).
         lam_dt_bound = max(float(self.icdf_switch), 0.0)
+        # The recurrence seed e^{-λdt} is an f32 denormal past λdt ≈ 87 and
+        # exactly 0 past ≈ 103: a switch that high silently corrupts the
+        # counts of every sub-switch high-intensity path.  80 keeps the seed
+        # a normal float with margin.
+        if lam_dt_bound > 80.0:
+            raise ValueError(
+                f"icdf_switch={self.icdf_switch} exceeds the f32 exp(-λ·dt) "
+                "underflow limit (~80): the pmf recurrence seed would "
+                "underflow to 0 below the CLT switch. Use icdf_switch <= 80.")
         p = np.exp(-lam_dt_bound)
         cdf, k = p, 0
         while cdf < 1.0 - self.icdf_tail_tol and k < 1024:
             k += 1
             p *= lam_dt_bound / k
             cdf += p
+        if cdf < 1.0 - self.icdf_tail_tol:
+            raise ValueError(
+                f"icdf recurrence depth hit the 1024 cap before reaching "
+                f"tail tolerance {self.icdf_tail_tol} at icdf_switch="
+                f"{self.icdf_switch} — lower the switch or loosen the tol.")
         object.__setattr__(self, "_icdf_k_eff", max(int(self.icdf_k_max), k))
 
     # ---- scalars ---------------------------------------------------------

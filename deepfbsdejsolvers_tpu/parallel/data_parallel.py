@@ -63,6 +63,14 @@ def make_dp_loss(loss_fn: Callable, mesh: Mesh, data_axis: str = "data") -> Call
     e.g. the compensator psum — run inside ``loss_fn``)."""
     all_axes = tuple(mesh.axis_names)
 
+    # check_vma=False is deliberate: the solver losses initialize their scan
+    # carries from device-INVARIANT values (model.init_x, the y0 scalar) that
+    # become device-VARYING only through the shard-folded RNG key, and JAX's
+    # vma type system rejects an invariant->varying scan carry unless every
+    # loss builder pcasts its initial carry to the data axis — axis names the
+    # solvers don't (and shouldn't) know.  The correctness property vma would
+    # guard is instead tested directly: DP fit == serial fit of the mesh-mean
+    # loss and 1-vs-8-shard gradient equality (tests/test_parallel.py).
     @functools.partial(shard_map, mesh=mesh, in_specs=(P(), P()), out_specs=P(),
                        check_vma=False)
     def dp_loss(params, key):

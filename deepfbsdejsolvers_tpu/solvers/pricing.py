@@ -212,7 +212,7 @@ class PricingSolver:
         arg = xb * jnp.exp(jb) if self.jump_diff else xb + xb * jb
         return jnp.stack([t, arg], -1)
 
-    def _pallas_ok(self, params, batch: int) -> bool:
+    def _pallas_ok(self, params) -> bool:
         """Whether the fused Pallas sweep applies (see ``sweep_impl``).
 
         A failed precondition falls back to the XLA sweep LOUDLY — one warning
@@ -381,7 +381,7 @@ class PricingSolver:
                 robust_sigmas=self.compensator.cheb_robust_sigmas)
             gam = self._gamma_realized(params, i, x, j, use_gam_net)
             return self._name_heads(gam, comp)
-        if self._pallas_ok(params, x.shape[0]):
+        if self._pallas_ok(params):
             comp = self._pallas_compensator(params, i, x, key_mc)
             gam = self._gamma_realized(params, i, x, j, use_gam_net)
             return self._name_heads(gam, comp)
@@ -562,6 +562,10 @@ class PricingSolver:
             x = model.init_x(batch)
             # Row N of the pre-drawn noise serves the pre-loop draws
             # (SolversJumpDiff.py:239-247); rows 0..N-1 feed the scan.
+            # Only j_all[N]/km_all[N] are consumed there — dw_all[N] is
+            # intentionally never read (the pre-loop heads need a jump and an
+            # MC key but no Brownian increment); the uniform (N+1)-row layout
+            # keeps the three noise streams aligned by row index.
             dw_all, j_all, km_all = self._prenoise(key, batch, rows=N + 1)
             j = j_all[N]
             y_prev, z_prev, gam_prev, comp_prev = heads(params, 0, x, j,

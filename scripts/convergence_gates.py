@@ -7,7 +7,9 @@ and reports |Y0 - oracle| against the model's closed-form/FFT price.
 Runs on whatever jax.devices() provides (TPU ~15 min total; CPU much longer).
 
 Usage: python scripts/convergence_gates.py [gate ...]
-Gates: merton_speed merton_direct merton_cheb vg_direct vg_speed merton_global
+Gates: merton_speed merton_direct merton_cheb merton_global
+       merton_global_extrapolated vg_direct vg_speed
+       vg_global_extrapolated vg_half_coupling  (or: all)
 """
 
 import argparse
@@ -68,12 +70,15 @@ def run_gate(name, model, oracle, scheme, batch=8192,
     return record
 
 
-def run_extrapolated_gate(oracle, compensator, seeds=3, a_lin=0.1,
-                          peak_lr=3e-3, steps=2400, tail=12, batch=8192):
+def run_extrapolated_gate(name, make_model, oracle, compensator, seeds=3,
+                          a_lin=0.1, peak_lr=3e-3, steps=2400, tail=12,
+                          batch=8192):
     """Richardson-extrapolated coupled-Global gate: per seed, train the
     Global scheme at aLin and aLin/2 (warm Y0 start) and report
     2*Y0(aLin/2) - Y0(aLin) — the coupling-rectification bias is linear in
-    aLin (BASELINE.md), so the extrapolation cancels it."""
+    aLin (BASELINE.md; same structure for Merton and VG), so the
+    extrapolation cancels it.  ``make_model(a)`` builds the model at
+    coupling strength a."""
     import optax
 
     errs, y0s = [], []
@@ -81,8 +86,7 @@ def run_extrapolated_gate(oracle, compensator, seeds=3, a_lin=0.1,
     for seed in range(seeds):
         pair = []
         for a in (a_lin / 2, a_lin):
-            model = make_merton_default(a_lin=a, jump_sampler="icdf",
-                                        price_mode="chebyshev")
+            model = make_model(a)
             solver = PricingSolver(model, "global", compensator=compensator)
             params = solver.init_params(jax.random.key(seed))
             params = solver.warm_start_y0(params, jax.random.key(9000 + seed))
@@ -95,7 +99,7 @@ def run_extrapolated_gate(oracle, compensator, seeds=3, a_lin=0.1,
         y0 = 2.0 * pair[0] - pair[1]
         y0s.append(y0)
         errs.append(abs(y0 - oracle))
-    record = {"gate": "merton_global_extrapolated", "y0": y0s,
+    record = {"gate": name, "y0": y0s,
               "oracle": oracle, "abs_error": max(errs),
               "mean_error": float(np.mean(errs)),
               "pass_1e-3": max(errs) <= 1e-3}
@@ -142,7 +146,25 @@ def main():
         # coupling-rectification bias is linear in aLin (BASELINE.md floor
         # analysis), so 2*Y0(aLin/2) - Y0(aLin) cancels it.
         "merton_global_extrapolated": lambda: run_extrapolated_gate(
+            "merton_global_extrapolated",
+            lambda a: make_merton_default(a_lin=a, jump_sampler="icdf",
+                                          price_mode="chebyshev"),
             merton_oracle, cheb64, seeds=3),
+        # VG twins of the coupled-Global gates (BASELINE.md VG study: the
+        # same linear coupling-rectification bias; Richardson readout landed
+        # 2.0e-7 from the FFT oracle on seed means).
+        "vg_global_extrapolated": lambda: run_extrapolated_gate(
+            "vg_global_extrapolated",
+            lambda a: dataclasses.replace(
+                make_vg_default(a_lin=a), price_eval="chebyshev"),
+            vg_oracle, cheb64, seeds=3),
+        # aLin=0.05 coupled VG row — passed 5/5 in the study (+0.73e-3).
+        "vg_half_coupling": lambda: run_gate(
+            "vg_half_coupling",
+            dataclasses.replace(make_vg_default(a_lin=0.05),
+                                price_eval="chebyshev"),
+            vg_oracle, "global", compensator=cheb64, seeds=3,
+            peak_lr=3e-3, steps=2400, warm_y0=True),
         # Reference-faithful numerics on the same budget.
         "merton_direct": lambda: run_gate(
             "merton_direct", merton, merton_oracle, "multistep1",

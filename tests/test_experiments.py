@@ -52,12 +52,15 @@ def test_vg_pipeline_smoke():
 def test_mfg_comparison_pipeline(tmp_path):
     cfg = MFGComparisonConfig(
         n_epoch_ext=1, n_epoch=2, batch_size=16, nb_days=1,
-        methods=("Global", "SumLocal"),
+        methods=("Global", "SumLocal"), n_simulation=32,
         io=RunIO(outdir=str(tmp_path), save_plots=True),
     )
     res = run_mfg_comparison(cfg, verbose=False)
     for m in cfg.methods:
         assert np.isfinite(res.methods[m].y0_history[-1])
+        # the frozen-noise eval stage (nbSimulation finally used) ran
+        assert np.isfinite(res.methods[m].eval_cost)
+        assert res.methods[m].eval_ci >= 0.0
     # the CSVs the reference expected but never wrote (mainMFGComparison:146-147)
     hist = np.loadtxt(tmp_path / "Y0List.csv", delimiter=",")
     assert hist.shape[0] == 2
