@@ -52,7 +52,8 @@ def build(batch: int, compensator: str, parity: bool, model_name: str = "merton"
             solver = PricingSolver(
                 model, "global",
                 compensator=CompensatorSpec(kind=compensator,
-                                            x_interp="chebyshev", n_cheb=64))
+                                            x_interp="chebyshev", n_cheb=64),
+                hoist=True, hoist_interp="piecewise")
     elif model_name == "mfg":
         import dataclasses
 
@@ -93,12 +94,19 @@ def build(batch: int, compensator: str, parity: bool, model_name: str = "merton"
         # bfloat16 heads are deliberately NOT used — they bias the Y0
         # readout ~3e-3 (out of gate) and no longer buy throughput once the
         # sweep is collocated.
+        # Round 3: the collocation is HOISTED out of the time scan (per-step
+        # coefficient tables from the pre-drawn noise's uncoupled marginals)
+        # and evaluated as PIECEWISE degree-7 polynomials (one-hot MXU select
+        # + Horner) instead of global degree-63 Clenshaw — profiling showed
+        # the speed config was bound by the VPU issue rate of the serial
+        # Clenshaw chains (scripts/profile_headline.py; 2.54e8 -> 3.96e8).
         model = make_merton_default(jump_sampler="icdf",
                                     price_mode="chebyshev")
         solver = PricingSolver(
             model, "global",
             compensator=CompensatorSpec(kind=compensator,
-                                        x_interp="chebyshev", n_cheb=64))
+                                        x_interp="chebyshev", n_cheb=64),
+            hoist=True, hoist_interp="piecewise")
     params = solver.init_params(jax.random.key(0))
     optimizer = make_adam(4e-4)
     opt_state = optimizer.init(params)

@@ -78,6 +78,12 @@ class PricingConfigBase:
     jump_sampler: str = "exact"       # "icdf" = truncated inverse-CDF Poisson
     x_interp: str = "direct"          # "chebyshev" = collocated compensator
     n_cheb: int = 64
+    # Hoist the collocation tables out of the time scan + chunk the scan
+    # into unrolled blocks (solvers/pricing.py round-3 speed path; requires
+    # x_interp="chebyshev").
+    hoist: bool = False
+    hoist_interp: str = "piecewise"   # "clenshaw" | "piecewise" (see ops/piecewise.py)
+    scan_chunk: int = 0
     price_mode: str = "series"        # Merton: "chebyshev" = collocated pricer
     # The reference trains the two Y-only regression schemes on 1000x the
     # nominal batch inside the solver (SolversJumpDiff.py:435,503) — kept as

@@ -80,6 +80,8 @@ def _train_one(config, model, method: str, logger: Optional[MetricsLogger],
             n_laguerre=config.n_laguerre, x_interp=config.x_interp,
             n_cheb=config.n_cheb),
         compute_dtype=config.compute_dtype, sweep_impl=config.sweep_impl,
+        hoist=config.hoist, hoist_interp=config.hoist_interp,
+        scan_chunk=config.scan_chunk,
     )
     key = jax.random.key(config.seed)
     key, k_init = jax.random.split(key)

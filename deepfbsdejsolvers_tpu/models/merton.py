@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Callable
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -171,12 +171,25 @@ class MertonJumpModel:
         return dn * self.muJ + self.sigJ * jnp.sqrt(dn) * z
 
     def step(self, i: jax.Array, x: jax.Array, dw: jax.Array, jump: jax.Array,
-             y: jax.Array) -> jax.Array:
-        """One Euler step of the coupled forward SDE (pricingModels.py:53-54)."""
+             y: jax.Array, price: Optional[jax.Array] = None) -> jax.Array:
+        """One Euler step of the coupled forward SDE (pricingModels.py:53-54).
+
+        ``price`` optionally supplies a precomputed A(i, X) (the solver's
+        hoisted per-step Chebyshev tables); None evaluates :meth:`price`."""
         drift = (self.r - 0.5 * self.sigma**2 - self.lam * self._kbar) * self._dt
+        a = self.price(i, x) if price is None else price
         return x * jnp.exp(drift + self.sigma * dw + jump) + self.coupling(
-            y - self.price(i, x)
+            y - a
         ) * self._dt
+
+    def uncoupled_log_increments(self, dw: jax.Array, jump: jax.Array) -> jax.Array:
+        """Per-step log-X increments of the UNcoupled forward dynamics
+        (coupling dropped): log x_{i+1} - log x_i = drift + sigma dW + J.
+        Used to bound per-step X marginals from pre-drawn noise without
+        running the coupled rollout (the coupling adds only O(aLin*dt) drift
+        per step, absorbed by the caller's interval padding)."""
+        drift = (self.r - 0.5 * self.sigma**2 - self.lam * self._kbar) * self._dt
+        return drift + self.sigma * dw + jump
 
     # ---- closed-form pricer --------------------------------------------------
     def price(self, i: jax.Array, x: jax.Array) -> jax.Array:

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Callable
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -150,11 +150,20 @@ class VGModel:
         return self.theta * g + self.sigJ * jnp.sqrt(g) * z
 
     def step(self, i: jax.Array, x: jax.Array, jump: jax.Array,
-             y: jax.Array) -> jax.Array:
+             y: jax.Array, price: Optional[jax.Array] = None) -> jax.Array:
         """One step of the coupled pure-jump forward SDE (pricingModels.py:184-185).
-        Note: no Brownian term — the pure-jump regime drops dW."""
+        Note: no Brownian term — the pure-jump regime drops dW.  ``price``
+        optionally supplies a precomputed A(i, X) (hoisted solver tables)."""
+        a = self.price(i, x) if price is None else price
         return x * jnp.exp((self.r - self._correction) * self._dt + jump) \
-            + self.coupling(y - self.price(i, x)) * self._dt
+            + self.coupling(y - a) * self._dt
+
+    def uncoupled_log_increments(self, dw: jax.Array, jump: jax.Array) -> jax.Array:
+        """Per-step log-X increments of the UNcoupled dynamics (see the
+        Merton twin): (r - omega) dt + J.  ``dw`` is the pure-jump regime's
+        zero-width placeholder and is ignored."""
+        del dw
+        return (self.r - self._correction) * self._dt + jump
 
     # ---- pricers -----------------------------------------------------------------
     def price(self, i: jax.Array, x: jax.Array) -> jax.Array:

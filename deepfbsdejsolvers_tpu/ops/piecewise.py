@@ -1,0 +1,114 @@
+"""Piecewise-polynomial collocation — the MXU-friendly interpolant.
+
+Round-3 profiling (scripts/profile_headline.py) showed the speed config is
+bound by the VPU issue rate of the degree-63 Clenshaw recurrences in the scan
+body: ~190 serial vector ops per evaluation, x2 functions (compensator +
+pricer), x forward/backward, per SDE step.  The same 64 degrees of freedom
+arranged as P=8 pieces x degree-(D-1)=7 local polynomials evaluate in
+
+  ~10 VPU ops (piece index + local coordinate)
+  + one (B, P) x (P, D) one-hot matmul on the MXU (per-path coefficient
+    select WITHOUT a gather — TPU vector gathers are slow, one-hot matmuls
+    are what the hardware is built for)
+  + (D-1) = 7 vector FMAs of Horner
+
+— ~7x fewer VPU ops than global Clenshaw, while for analytic integrands the
+piecewise fit is at least as accurate (each piece resolves 1/P of the
+interval with 8 nodes; interpolation error decays like (piece width)^D).
+
+Fit: per piece, the function is sampled at D Chebyshev points of the piece
+(no Runge issues, smooth extrapolation to the piece edges) and the local
+monomial coefficients — in the piece-local coordinate t in [-1, 1], where
+the degree-7 Vandermonde has condition ~257 (the same fit on [0, 1] is
+~1.2e5-conditioned and loses ~1e-2 in float32) — are recovered with a
+precomputed inverse.  Global monomial conversion at degree 63 would be
+hopeless; degree 7 on [-1, 1] is fine (measured f32 sup error ~3e-5 on
+exp over [0.3, 3], i.e. ~2e-6 relative).
+
+Gradients flow exactly like the Clenshaw path: the fit is linear in the
+nodal values, Horner is polynomial in the coefficients and the local
+coordinate, and the piece index / interval ends are stop_gradient'ed
+(piecewise-constant numerical devices).  Out-of-interval points clamp to the
+boundary, matching ops/chebyshev.py's behavior.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=None)
+def _pw_tables(n_pieces: int, degree: int):
+    """Host tables for a (P pieces) x (degree+1 coefficients) fit.
+
+    Returns (t_nodes, fit) with t_nodes (P*D,) the sample points in the
+    GLOBAL [0, 1] coordinate (D Chebyshev points per piece) and fit (D, D)
+    mapping a piece's D sampled values to its local monomial coefficients
+    (in the piece-local coordinate t in [0, 1])."""
+    d = degree + 1
+    k = np.arange(d)
+    # Chebyshev points of the piece, in piece-local [-1, 1]
+    t_loc = -np.cos(np.pi * (k + 0.5) / d)                     # (D,)
+    vand = t_loc[:, None] ** np.arange(d)[None, :]             # (D, D)
+    fit = np.linalg.inv(vand)                                  # (D, D)
+    pieces = np.arange(n_pieces)
+    t_glob = ((pieces[:, None] + 0.5 * (t_loc[None, :] + 1.0))
+              / n_pieces).reshape(-1)
+    return t_glob.astype(np.float32), fit.astype(np.float32)
+
+
+def pw_nodes(x_lo: jax.Array, x_hi: jax.Array, n_pieces: int,
+             degree: int) -> jax.Array:
+    """Sample points on [x_lo, x_hi] (last axis, P*D points); ends are
+    gradient-stopped like cheb_nodes."""
+    t, _ = _pw_tables(n_pieces, degree)
+    x_lo = jax.lax.stop_gradient(x_lo)
+    x_hi = jax.lax.stop_gradient(x_hi)
+    return x_lo[..., None] + (x_hi - x_lo)[..., None] * jnp.asarray(t)
+
+
+def pw_fit(values: jax.Array, n_pieces: int, degree: int) -> jax.Array:
+    """Local monomial coefficients (..., P, D) from values at the pw_nodes
+    points (..., P*D)."""
+    d = degree + 1
+    fit = jnp.asarray(_pw_tables(n_pieces, degree)[1])
+    v = values.reshape(values.shape[:-1] + (n_pieces, d))
+    return v @ fit.T
+
+
+def pw_eval(coef: jax.Array, x: jax.Array, x_lo: jax.Array,
+            x_hi: jax.Array) -> jax.Array:
+    """Evaluate the piecewise polynomial at x.
+
+    coef: (P, D) local monomial coefficients; x: (B,); x_lo/x_hi scalars
+    (one step's interval).  Out-of-interval x clamps to the boundary."""
+    p, d = coef.shape[-2], coef.shape[-1]
+    x_lo = jax.lax.stop_gradient(x_lo)
+    x_hi = jax.lax.stop_gradient(x_hi)
+    span = jnp.maximum(x_hi - x_lo, 1e-6)
+    s = jnp.clip((x - x_lo) / span, 0.0, 1.0) * p              # global in [0, P]
+    k = jax.lax.stop_gradient(jnp.clip(jnp.floor(s), 0, p - 1))
+    t = 2.0 * (s - k) - 1.0                                    # local in [-1, 1]
+    # one-hot piece select -> per-path coefficient rows via the MXU
+    onehot = (k[..., None] == jnp.arange(p, dtype=s.dtype)).astype(coef.dtype)
+    c = onehot @ coef                                          # (B, D)
+    acc = c[..., d - 1]
+    for j in range(d - 2, -1, -1):                             # Horner, D-1 FMAs
+        acc = acc * t + c[..., j]
+    return acc
+
+
+def pw_interp_1d(fn, x: jax.Array, n_pieces: int = 8, degree: int = 7,
+                 robust_sigmas=None) -> jax.Array:
+    """Drop-in analogue of chebyshev.interp_1d with the piecewise evaluator:
+    calls ``fn`` on P*(degree+1) points spanning the range of ``x``."""
+    from deepfbsdejsolvers_tpu.ops.chebyshev import _range_of
+
+    x_lo, x_hi = _range_of(x, robust_sigmas)
+    nodes = pw_nodes(x_lo, x_hi, n_pieces, degree)
+    coef = pw_fit(fn(nodes), n_pieces, degree)
+    return pw_eval(coef, x, x_lo, x_hi)

@@ -110,12 +110,54 @@ class PricingSolver:
     # (parallel/data_parallel.py).
     comp_axis: Optional[str] = None
     comp_shards: int = 1
+    # Hoist the per-step Chebyshev collocation OUT of the time scan: the
+    # (N, n_cheb) compensator (and collocated-pricer) coefficient tables are
+    # computed in ONE batched evaluation before the scan, on per-step
+    # intervals bounded from the pre-drawn noise's UNcoupled X marginals
+    # (models' ``uncoupled_log_increments``; the small coupling drift is
+    # absorbed by ``hoist_pad_frac`` interval padding + Clenshaw's boundary
+    # clamp).  The scan body then reduces to pure elementwise math + the
+    # realized-Γ/Z heads.  Round-3 profiling (scripts/profile_headline.py)
+    # showed the per-step in-scan sweep version spends most of its time on
+    # per-step kernel overhead and (N, B) scan-buffer copies, not compute.
+    # Requires ``compensator.x_interp == "chebyshev"`` and no comp sharding.
+    hoist: bool = False
+    hoist_pad_frac: float = 0.15
+    # Hoisted-table evaluator: "clenshaw" evaluates the global degree-(C-1)
+    # Chebyshev interpolant (63 serial FMAs x ~3 ops per path per function);
+    # "piecewise" evaluates P local degree-(D-1) polynomials selected by a
+    # one-hot MXU matmul + Horner (~7x fewer VPU ops at the same 64 degrees
+    # of freedom — profiling showed the Clenshaw chains bound the speed
+    # config; see ops/piecewise.py).
+    hoist_interp: str = "clenshaw"
+    pw_pieces: int = 8
+    pw_degree: int = 7
+    # Collocate the Z head too (global jump-diffusion scheme only, where the
+    # UZ net's output is exactly Z(t, x) — 1-D smooth in x).  Bias-free: the
+    # interpolation error is a deterministic function of X_i multiplied by
+    # the INDEPENDENT increment dW_i, so E[err(X_i) dW_i] = 0 — it adds
+    # O(3e-5) variance, not bias.  Replaces 3 MXU head dots per step with
+    # the table evaluator.
+    hoist_z: bool = True
+    # Chunk the time scan: outer lax.scan over N/scan_chunk chunks of
+    # ``scan_chunk`` fully-unrolled steps, rematerialized at chunk boundaries.
+    # Cuts while-loop iteration count (fewer buffer double-buffer copies,
+    # fewer kernel launches) and lets XLA fuse across steps.  0 = off.
+    scan_chunk: int = 0
 
     def __post_init__(self):
         if self.scheme not in PRICING_SCHEMES:
             raise ValueError(f"scheme must be one of {PRICING_SCHEMES}, got {self.scheme!r}")
         if self.model.regime not in ("jump_diffusion", "pure_jump"):
             raise ValueError(f"unknown regime {self.model.regime!r}")
+        if self.hoist:
+            if self.compensator.x_interp != "chebyshev":
+                raise ValueError(
+                    "hoist=True requires compensator.x_interp='chebyshev' "
+                    "(the hoisted tables ARE the collocation)")
+            if self.comp_axis is not None:
+                raise ValueError("hoist=True is incompatible with "
+                                 "compensator-axis sharding")
         if self.compensator.kind == "quadrature":
             nodes, weights = self.model.jump_quadrature(self.compensator)
             if self.comp_axis is not None:
@@ -220,8 +262,13 @@ class PricingSolver:
         if self.sweep_impl != "pallas":
             return False
         reasons = []
-        if self.comp_axis is not None:
-            reasons.append("compensator-axis sharding is enabled")
+        if self._compute_dtype is not None and self._compute_dtype != jnp.float32:
+            # The kernel computes f32 unconditionally; silently mixing it
+            # with bf16 XLA heads would be a numerics inconsistency, so the
+            # whole solver falls back to the (dtype-honoring) XLA sweep.
+            reasons.append(
+                f"compute_dtype={self.compute_dtype!r} (the fused kernel "
+                "is f32-only)")
         head = params.get("gam") if (
             "gam" in params and self.scheme not in ("multistep1", "sumlocal1")
         ) else params["uz"]
@@ -246,19 +293,20 @@ class PricingSolver:
             return False
         return True
 
-    def _pallas_compensator(self, params, i, x, key_mc) -> jax.Array:
-        """Fused-MXU sweep (ops/pallas_sweep.py): packs P=128//H nodes per MXU
-        pass with rank-1 first layer and weight-folded output.  Works for both
-        the static quadrature rule and the reference-exact per-step MC node
-        draw (uniform weights; large node sets run a fori_loop over groups)."""
+    def _pallas_sweep_mean(self, params, i, x, nodes, weights) -> jax.Array:
+        """Fused-MXU sweep (ops/pallas_sweep.py) over a given node set: packs
+        P=128//H nodes per MXU pass with rank-1 first layer and weight-folded
+        output.  Works for the static quadrature rule, the reference-exact
+        per-step MC draw (``weights=None`` = uniform; large node sets run a
+        fori_loop over groups), and per-comp-shard node slices (the caller
+        psums/pmeans the partial sums — the folded output-bias term ``wb2``
+        scales with the local weight mass, so shard partials compose
+        exactly)."""
         from deepfbsdejsolvers_tpu.ops import pallas_sweep as ps
 
-        if self.compensator.kind == "mc":
-            n = self.compensator.n_mc
-            nodes = self.model.sample_jumps(key_mc, (n,))
+        if weights is None:
+            n = nodes.shape[0]
             weights = jnp.full((n,), 1.0 / n, jnp.float32)
-        else:
-            nodes, weights = self._quad
         use_gam_net = "gam" in params and self.scheme not in (
             "multistep1", "sumlocal1")
         head = params["gam"] if use_gam_net else params["uz"]
@@ -381,10 +429,6 @@ class PricingSolver:
                 robust_sigmas=self.compensator.cheb_robust_sigmas)
             gam = self._gamma_realized(params, i, x, j, use_gam_net)
             return self._name_heads(gam, comp)
-        if self._pallas_ok(params):
-            comp = self._pallas_compensator(params, i, x, key_mc)
-            gam = self._gamma_realized(params, i, x, j, use_gam_net)
-            return self._name_heads(gam, comp)
         sharded = self.comp_axis is not None
         if self.compensator.kind == "mc":
             n = self.compensator.n_mc
@@ -402,7 +446,12 @@ class PricingSolver:
                 nodes = jax.lax.dynamic_slice_in_dim(nodes, c * per, per)
                 weights = jax.lax.dynamic_slice_in_dim(weights, c * per, per)
         gam = self._gamma_realized(params, i, x, j, use_gam_net)
-        comp = self._sweep_mean(params, i, x, nodes, weights, use_gam_net)
+        if self._pallas_ok(params):
+            # the fused kernel sweeps the (possibly shard-local) node set;
+            # shard partials compose through the same psum/pmean as XLA's
+            comp = self._pallas_sweep_mean(params, i, x, nodes, weights)
+        else:
+            comp = self._sweep_mean(params, i, x, nodes, weights, use_gam_net)
         if sharded:
             if weights is None:
                 comp = jax.lax.pmean(comp, self.comp_axis)  # mean of MC shards
@@ -437,12 +486,178 @@ class PricingSolver:
         kms = jax.random.split(km, rows)
         return dw, j, kms
 
-    def _fstep(self, i, x, dw, j, y):
+    def _fstep(self, i, x, dw, j, y, price=None):
         """Forward SDE step, dispatching on regime (pure-jump drops dW:
         pricingModels.py:184-185 vs :53-54)."""
         if self.jump_diff:
-            return self.model.step(i, x, dw, j, y)
-        return self.model.step(i, x, j, y)
+            return self.model.step(i, x, dw, j, y, price=price)
+        return self.model.step(i, x, j, y, price=price)
+
+    # ------------------------------------------------- hoisted collocation
+    @property
+    def _use_gam_net_flag(self) -> bool:
+        return "gam" in self.net_specs() and self.scheme not in (
+            "multistep1", "sumlocal1")
+
+    def _price_collocated(self) -> bool:
+        """Whether the model itself opted into collocated price evaluation
+        (the only case where hoisting the pricer preserves the configured
+        semantics — otherwise the exact per-path series stays in the body)."""
+        return (getattr(self.model, "price_mode", None) == "chebyshev"
+                or getattr(self.model, "price_eval", None) == "chebyshev")
+
+    def _hoist_active(self) -> bool:
+        return self.hoist and self.comp_axis is None
+
+    def _hoist_tables(self, params, noise, shift_next: bool = False) -> dict:
+        """Per-step collocation tables, computed OUTSIDE the time scan.
+
+        Returns {"lo", "hi", "cc"[, "pc"]}: per-step interval bounds (N,) and
+        Chebyshev coefficients (N, C) of the compensator (and, when the model
+        collocates its pricer, of A(i, x)).  Intervals come from the exact
+        UNcoupled X marginals reconstructed from the pre-drawn noise by one
+        cumsum — the coupled paths deviate only by the O(aLin*dt) coupling
+        drift per step, covered by ``hoist_pad_frac`` padding (outliers clamp
+        to the interval boundary in cheb_eval, where the integrand is ~flat).
+        ``shift_next`` fits row i on the x_{i+1} marginal (the sumlocal
+        schemes evaluate the step-i heads at the step-(i+1) state:
+        SolversJumpDiff.py:264-266)."""
+        import math as _math
+
+        from deepfbsdejsolvers_tpu.ops.chebyshev import _cheb_tables, cheb_fit
+
+        model = self.model
+        N = model.N
+        c = self.compensator.n_cheb
+        dw, j, kms = noise
+        incr = model.uncoupled_log_increments(dw[:N], j[:N])       # (N, B)
+        # cumsum over the step axis as a lower-triangular matmul: XLA lowers
+        # jnp.cumsum to an O(N^2 B) reduce_window on TPU (~0.5 ms/train step
+        # in the trace); the (N, N) @ (N, B) MXU product is ~30x cheaper.
+        tri = jnp.tril(jnp.ones((N, N), jnp.float32))
+        csum = tri @ incr
+        lx0 = _math.log(model.x0)
+        if shift_next:
+            lx = lx0 + csum                                        # x_{i+1}
+        else:
+            lx = lx0 + jnp.concatenate(
+                [jnp.zeros_like(csum[:1]), csum[:-1]], axis=0)     # x_i
+        # Interval padding happens in LOG space: multiplicative, so the
+        # padded lower bound stays strictly positive (an additive pad can
+        # push lo below 0 at later steps, and the pricer's log(x/K) NaNs).
+        llo = jnp.min(lx, axis=1)
+        lhi = jnp.max(lx, axis=1)
+        lpad = self.hoist_pad_frac * (lhi - llo) + 0.01
+        lo = jax.lax.stop_gradient(jnp.exp(llo - lpad))
+        hi = jax.lax.stop_gradient(jnp.exp(lhi + lpad))
+        if self.hoist_interp == "piecewise":
+            from deepfbsdejsolvers_tpu.ops.piecewise import pw_fit, pw_nodes
+
+            nodes = pw_nodes(lo, hi, self.pw_pieces, self.pw_degree)  # (N, P*D)
+            fit = lambda v: pw_fit(v, self.pw_pieces, self.pw_degree)
+        else:
+            u = jnp.asarray(_cheb_tables(c)[0])                    # (C,)
+            nodes = (0.5 * (lo + hi)[:, None]
+                     + 0.5 * (hi - lo)[:, None] * u)               # (N, C)
+            fit = cheb_fit
+        use_gam = self._use_gam_net_flag
+        steps = jnp.arange(N)
+        if self.compensator.kind == "mc":
+            n_mc = self.compensator.n_mc
+
+            def comp_row(args):
+                i, xp, km = args
+                mc = self.model.sample_jumps(km, (n_mc,))
+                return self._sweep_comp_at(params, i, xp, mc, None, use_gam)
+
+            # blocks of steps bound the [block*C, n_mc, H] sweep activations
+            vals = jax.lax.map(comp_row, (steps, nodes, kms[:N]),
+                               batch_size=8)
+        else:
+            qn, qw = self._quad
+            vals = jax.vmap(
+                lambda i, xp: self._sweep_comp_at(params, i, xp, qn, qw,
+                                                  use_gam))(steps, nodes)
+        out = {"lo": lo, "hi": hi, "cc": fit(vals)}
+        if self._price_collocated():
+            pvals = jax.vmap(model.price)(steps, nodes)
+            out["pc"] = fit(pvals)
+        if self.hoist_z and self.scheme == "global" and self.jump_diff:
+            zvals = jax.vmap(
+                lambda i, xp: self._uz(params, i, xp)[..., 0])(steps, nodes)
+            out["zc"] = fit(zvals)
+        return out
+
+    @staticmethod
+    def _table_eval(coef, x, lo, hi):
+        """Evaluate one step's hoisted table: (P, D) piecewise coefficients
+        or (C,) Chebyshev coefficients, dispatched on rank."""
+        if coef.ndim == 2:
+            from deepfbsdejsolvers_tpu.ops.piecewise import pw_eval
+
+            return pw_eval(coef, x, lo, hi)
+        from deepfbsdejsolvers_tpu.ops.chebyshev import cheb_eval
+
+        return cheb_eval(coef, x, lo, hi)
+
+    def _scan_xs(self, params, noise, shift_next: bool = False) -> dict:
+        """Per-step scan inputs as a dict pytree: index, noise rows, MC keys,
+        plus the hoisted collocation tables when active."""
+        dw, j, kms = noise
+        N = self.model.N
+        xs = {"i": jnp.arange(N), "dw": dw[:N], "j": j[:N], "km": kms[:N]}
+        if self._hoist_active():
+            xs.update(self._hoist_tables(params, noise, shift_next))
+        return xs
+
+    def _heads_gamma_comp(self, params, xs_i, x, j):
+        """(Γ(realized), compensator) for one step — hoisted Clenshaw when
+        the tables are in ``xs_i``, else the full in-scan machinery."""
+        if "cc" in xs_i:
+            from jax.ad_checkpoint import checkpoint_name
+
+            comp = self._table_eval(xs_i["cc"], x, xs_i["lo"], xs_i["hi"])
+            gam = self._gamma_realized(params, xs_i["i"], x, j,
+                                       self._use_gam_net_flag)
+            # gam is an MLP output worth saving for the backward pass; comp
+            # is a 64-FMA Clenshaw — cheaper to recompute than to round-trip
+            # through HBM, so it is deliberately NOT checkpoint-named here.
+            return checkpoint_name(gam, "gam"), comp
+        return self._gamma_and_compensator(params, xs_i["i"], x, j,
+                                           xs_i["km"])
+
+    def _step_price(self, xs_i, x):
+        """Hoisted A(i, x) for the forward drift, or None to evaluate the
+        model's own pricer in the body."""
+        if "pc" in xs_i:
+            return self._table_eval(xs_i["pc"], x, xs_i["lo"], xs_i["hi"])
+        return None
+
+    def _scan(self, body, carry, xs, length):
+        """Time scan with optional chunking: outer scan over chunks of
+        ``scan_chunk`` fully-unrolled steps, rematerialized per chunk.  The
+        unrolled inner steps index their xs rows statically — no per-step
+        dynamic_slice/dynamic_update_slice on the big (N, B) buffers, and
+        XLA fuses the elementwise chain across steps."""
+        k = self.scan_chunk
+        if k and 1 < k < length:
+            while length % k:
+                k -= 1
+        if not k or k <= 1 or k >= length:
+            return jax.lax.scan(self._maybe_remat(body), carry, xs)
+        nch = length // k
+        xs_r = jax.tree.map(lambda a: a.reshape((nch, k) + a.shape[1:]), xs)
+
+        def chunk(c, xc):
+            return jax.lax.scan(body, c, xc, unroll=True)
+
+        if self.remat:
+            policy = jax.checkpoint_policies.save_only_these_names(
+                "gam", "comp")
+            chunk = jax.checkpoint(chunk, policy=policy)
+        carry, ys = jax.lax.scan(chunk, carry, xs_r)
+        ys = jax.tree.map(lambda a: a.reshape((length,) + a.shape[2:]), ys)
+        return carry, ys
 
     @staticmethod
     def _name_heads(gam, comp):
@@ -484,20 +699,25 @@ class PricingSolver:
             y0 = params["uz" if self.jump_diff else "gam"]["y0"]
             y = y0 * jnp.ones((batch,), jnp.float32)
             noise = self._prenoise(key, batch)
+            xs = self._scan_xs(params, noise)
 
-            def body(carry, xs):
+            def body(carry, xs_i):
                 x, y = carry
-                i, dw, j, km = xs
-                gam, comp = self._gamma_and_compensator(params, i, x, j, km)
+                i, dw, j = xs_i["i"], xs_i["dw"], xs_i["j"]
+                gam, comp = self._heads_gamma_comp(params, xs_i, x, j)
                 y = y - dt * model.f(y) + gam - comp
                 if self.jump_diff:
-                    z = self._uz(params, i, x)[..., 0]
+                    if "zc" in xs_i:
+                        z = self._table_eval(xs_i["zc"], x, xs_i["lo"],
+                                             xs_i["hi"])
+                    else:
+                        z = self._uz(params, i, x)[..., 0]
                     y = y + z * dw
-                x = self._fstep(i, x, dw, j, y)
+                x = self._fstep(i, x, dw, j, y,
+                                price=self._step_price(xs_i, x))
                 return (x, y), None
 
-            (x, y), _ = jax.lax.scan(self._maybe_remat(body), (x, y),
-                                     (jnp.arange(N),) + noise)
+            (x, y), _ = self._scan(body, (x, y), xs, N)
             return jnp.mean(jnp.square(y - model.payoff(x)))
 
         return loss
@@ -509,22 +729,25 @@ class PricingSolver:
         def loss(params, key):
             x = model.init_x(batch)
             noise = self._prenoise(key, batch)
+            xs = self._scan_xs(params, noise) if with_heads else {
+                "i": jnp.arange(N), "dw": noise[0], "j": noise[1],
+                "km": noise[2]}
 
-            def body(x, xs):
-                i, dw, j, km = xs
+            def body(x, xs_i):
+                i, dw, j = xs_i["i"], xs_i["dw"], xs_i["j"]
                 out = self._uz(params, i, x)
                 y = out[..., 0]
                 to_add = -dt * model.f(y)
                 if with_heads:
-                    gam, comp = self._gamma_and_compensator(params, i, x, j, km)
+                    gam, comp = self._heads_gamma_comp(params, xs_i, x, j)
                     to_add = to_add + gam - comp
                     if self.jump_diff:
                         to_add = to_add + out[..., 1] * dw
-                x = self._fstep(i, x, dw, j, y)
+                x = self._fstep(i, x, dw, j, y,
+                                price=self._step_price(xs_i, x))
                 return x, (y, to_add)
 
-            x, (ys, adds) = jax.lax.scan(self._maybe_remat(body), x,
-                                         (jnp.arange(N),) + noise)
+            x, (ys, adds) = self._scan(body, x, xs, N)
             y_final = model.payoff(x)
             fwd = ys + _suffix_sum(adds)           # (N, B)
             # Reference reduction is MEAN over steps: the outer reduce_sum at
@@ -558,6 +781,16 @@ class PricingSolver:
                 gam = comp = jnp.zeros_like(y)
             return y, z, gam, comp
 
+        def heads_xs(params, xs_i, x, j):
+            out = self._uz(params, xs_i["i"], x)
+            y = out[..., 0]
+            z = out[..., 1] if (with_heads and self.jump_diff) else jnp.zeros_like(y)
+            if with_heads:
+                gam, comp = self._heads_gamma_comp(params, xs_i, x, j)
+            else:
+                gam = comp = jnp.zeros_like(y)
+            return y, z, gam, comp
+
         def loss(params, key):
             x = model.init_x(batch)
             # Row N of the pre-drawn noise serves the pre-loop draws
@@ -568,28 +801,37 @@ class PricingSolver:
             # keeps the three noise streams aligned by row index.
             dw_all, j_all, km_all = self._prenoise(key, batch, rows=N + 1)
             j = j_all[N]
+            # The pre-loop head evaluation at (t=0, X_0) runs the direct
+            # (non-hoisted) machinery — it is one step, outside the scan.
             y_prev, z_prev, gam_prev, comp_prev = heads(params, 0, x, j,
                                                         km_all[N])
+            # shift_next: the in-scan heads evaluate at state X_{i+1} with
+            # time feature i, so the step-i hoisted table must span the
+            # x_{i+1} marginal (SolversJumpDiff.py:264-266).
+            xs = self._scan_xs(params, (dw_all, j_all, km_all),
+                               shift_next=True) if with_heads else {
+                "i": jnp.arange(N), "dw": dw_all[:N], "j": j_all[:N],
+                "km": km_all[:N]}
 
-            def body(carry, xs):
+            def body(carry, xs_i):
                 x, j, y_prev, z_prev, gam_prev, comp_prev = carry
-                i, dw, j_next, km = xs
+                i, dw, j_next = xs_i["i"], xs_i["dw"], xs_i["j"]
                 to_add = dt * model.f(y_prev) - gam_prev + comp_prev
                 if with_heads and self.jump_diff:
                     to_add = to_add - z_prev * dw
+                # The forward step's drift pricer A(i, X_i) is NOT hoisted
+                # here: the hoisted tables span the x_{i+1} marginals.
                 x = self._fstep(i, x, dw, j, y_prev)
                 # NOTE reference idiosyncrasy: the heads at state X_{i+1} use
                 # time feature i, not i+1 (SolversJumpDiff.py:264-266).
-                y_net, z_n, gam_n, comp_n = heads(params, i, x, j_next, km)
+                y_net, z_n, gam_n, comp_n = heads_xs(params, xs_i, x, j_next)
                 is_last = i == N - 1
                 y_next = jnp.where(is_last, model.payoff(x), y_net)
                 err = jnp.mean(jnp.square(y_next - y_prev + to_add))
                 return (x, j_next, y_next, z_n, gam_n, comp_n), err
 
             carry = (x, j, y_prev, z_prev, gam_prev, comp_prev)
-            _, errs = jax.lax.scan(
-                self._maybe_remat(body), carry,
-                (jnp.arange(N), dw_all[:N], j_all[:N], km_all[:N]))
+            _, errs = self._scan(body, carry, xs, N)
             return jnp.sum(errs)
 
         return loss

@@ -117,6 +117,8 @@ def main():
     vg = make_vg_default()
     vg_oracle = vg.price_at_origin()
     cheb64 = CompensatorSpec(x_interp="chebyshev", n_cheb=64)
+    # the round-3 headline speed path: hoisted tables + piecewise evaluator
+    speed_kw = dict(compensator=cheb64, hoist=True, hoist_interp="piecewise")
 
     registry = {
         # The robust speed-config gate: UNcoupled Merton (aLin=0), Global
@@ -131,8 +133,8 @@ def main():
             "merton_speed",
             make_merton_default(a_lin=0.0, jump_sampler="icdf",
                                 price_mode="chebyshev"),
-            merton_oracle, "global", compensator=cheb64, seeds=3,
-            peak_lr=3e-3, steps=2400, warm_y0=True),
+            merton_oracle, "global", seeds=3,
+            peak_lr=3e-3, steps=2400, warm_y0=True, **speed_kw),
         "merton_multistep_diag": lambda: run_gate(
             "merton_multistep_diag",
             make_merton_default(a_lin=0.0, jump_sampler="icdf",

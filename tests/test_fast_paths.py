@@ -120,3 +120,62 @@ def test_fast_config_trains(rng_key):
     after = float(loss_eval(res.params, k_fixed))
     assert after < before
     assert np.isfinite(res.y0_history[-1])
+
+
+def test_piecewise_interp_accuracy():
+    """ops/piecewise.py: the 8x7 piecewise-monomial fit matches smooth
+    functions to ~1e-4 sup over the sampled range, and grads flow."""
+    from deepfbsdejsolvers_tpu.ops.piecewise import pw_interp_1d
+
+    x = jnp.asarray(np.random.RandomState(0).uniform(0.3, 3.0, 4096),
+                    jnp.float32)
+    for f in (jnp.exp, lambda v: jnp.tanh(2 * v) + 0.3 * jnp.sin(3 * v)):
+        approx = pw_interp_1d(f, x, 8, 7)
+        assert float(jnp.max(jnp.abs(approx - f(x)))) < 2e-4
+    g = jax.grad(lambda xx: jnp.sum(pw_interp_1d(jnp.exp, xx, 8, 7)))(x)
+    assert bool(jnp.all(jnp.isfinite(g)))
+
+
+@pytest.mark.parametrize("scheme", ["global", "multistep1", "sumlocal2"])
+@pytest.mark.parametrize("interp", ["clenshaw", "piecewise"])
+def test_hoisted_loss_matches_inscan(rng_key, scheme, interp):
+    """The hoisted per-step collocation tables (intervals from the uncoupled
+    marginals, comp/pricer/Z tables computed before the scan) reproduce the
+    in-scan collocated loss and gradients."""
+    m = make_merton_default(jump_sampler="icdf", price_mode="chebyshev")
+    spec = CompensatorSpec(x_interp="chebyshev", n_cheb=64)
+    vals, grads = {}, {}
+    for tag, kw in (("base", {}),
+                    ("hoist", dict(hoist=True, hoist_interp=interp))):
+        solver = PricingSolver(m, scheme, compensator=spec, **kw)
+        params = solver.init_params(jax.random.key(0))
+        loss, grad = jax.value_and_grad(jax.jit(solver.build_loss(512)))(
+            params, rng_key)
+        vals[tag], grads[tag] = float(loss), grad
+    assert vals["hoist"] == pytest.approx(vals["base"], rel=1e-4)
+    fa, _ = jax.flatten_util.ravel_pytree(grads["base"])
+    fb, _ = jax.flatten_util.ravel_pytree(grads["hoist"])
+    rel = float(jnp.linalg.norm(fa - fb) / jnp.linalg.norm(fa))
+    assert rel < 5e-3
+
+
+def test_hoisted_mc_compensator_matches_inscan(rng_key):
+    """Hoisted tables under the reference-exact MC node law: same per-step
+    node draws as the in-scan chebyshev+mc branch (both consume the per-step
+    kms keys), so the losses agree to interpolation error."""
+    m = make_merton_default(jump_sampler="icdf", price_mode="chebyshev")
+    spec = CompensatorSpec(kind="mc", n_mc=200, x_interp="chebyshev",
+                           n_cheb=64)
+    out = {}
+    for tag, kw in (("base", {}),
+                    ("hoist", dict(hoist=True, hoist_interp="piecewise"))):
+        solver = PricingSolver(m, "global", compensator=spec, **kw)
+        params = solver.init_params(jax.random.key(0))
+        out[tag] = float(jax.jit(solver.build_loss(512))(params, rng_key))
+    assert out["hoist"] == pytest.approx(out["base"], rel=2e-3)
+
+
+def test_hoist_requires_chebyshev_interp():
+    m = make_merton_default()
+    with pytest.raises(ValueError):
+        PricingSolver(m, "global", hoist=True)

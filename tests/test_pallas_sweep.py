@@ -133,23 +133,62 @@ def test_pallas_preconditions_round2():
     m = make_merton_default()
     s = PricingSolver(m, "global", compensator=SPEC, sweep_impl="pallas")
     params = s.init_params(jax.random.key(0))
-    assert s._pallas_ok(params, 100)              # any batch: padded
+    assert s._pallas_ok(params)              # any batch: padded
     s_mc = PricingSolver(m, "global", compensator=CompensatorSpec(kind="mc"),
                          sweep_impl="pallas")
-    assert s_mc._pallas_ok(params, 256)           # mc mode supported
+    assert s_mc._pallas_ok(params)           # mc mode supported
     # the loss runs end-to-end at a non-tile-aligned batch
     loss = float(jax.jit(s.build_loss(96))(params, jax.random.key(1)))
     assert np.isfinite(loss)
-    # disqualifier -> loud fallback (sharded node axis)
+    # round 3: comp-axis sharding no longer disqualifies — each shard sweeps
+    # its node slice through the kernel and the partials psum outside
     s_sh = PricingSolver(m, "global", compensator=SPEC, sweep_impl="pallas",
                          comp_axis="comp", comp_shards=2)
+    assert s_sh._pallas_ok(params)
+    # bf16 heads DO disqualify (the kernel is f32-only) with a loud warning
+    s_bf = PricingSolver(m, "global", compensator=SPEC, sweep_impl="pallas",
+                         compute_dtype="bfloat16")
     with warnings.catch_warnings(record=True) as caught:
         warnings.simplefilter("always")
-        assert not s_sh._pallas_ok(params, 256)
+        assert not s_bf._pallas_ok(params)
     assert any("falling back to the XLA sweep" in str(w.message)
-               for w in caught)
+               and "f32-only" in str(w.message) for w in caught)
+    # the bf16 loss still runs end-to-end through the XLA fallback
+    loss_bf = float(jax.jit(s_bf.build_loss(96))(params, jax.random.key(1)))
+    assert np.isfinite(loss_bf)
     # non-tanh activation disqualifies (one-layer-shape check shares the path)
     s_act = PricingSolver(m, "global", compensator=SPEC, sweep_impl="pallas",
                           activation="relu")
     p_act = s_act.init_params(jax.random.key(0))
-    assert not s_act._pallas_ok(p_act, 256)
+    assert not s_act._pallas_ok(p_act)
+
+
+def test_pallas_sharded_comp_axis_matches_xla():
+    """Round 3: the fused kernel under compensator-axis sharding — per-shard
+    node slices swept in-kernel, psum'd outside — equals the sharded XLA
+    sweep AND the unsharded loss (quadrature zero-pad included)."""
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax import shard_map
+
+    m = make_merton_default()
+    devs = np.asarray(jax.devices()[:2])
+    mesh = Mesh(devs, ("comp",))
+    key = jax.random.key(7)
+
+    def sharded_loss(sweep_impl):
+        s = PricingSolver(m, "global", compensator=SPEC,
+                          sweep_impl=sweep_impl,
+                          comp_axis="comp", comp_shards=2)
+        params = s.init_params(jax.random.key(0))
+        loss_fn = s.build_loss(128)
+        f = shard_map(lambda p, k: loss_fn(p, k), mesh=mesh,
+                      in_specs=(P(), P()), out_specs=P(), check_vma=False)
+        return float(jax.jit(f)(params, key))
+
+    base = PricingSolver(m, "global", compensator=SPEC)
+    params = base.init_params(jax.random.key(0))
+    unsharded = float(jax.jit(base.build_loss(128))(params, key))
+    xla_sh = sharded_loss("xla")
+    pal_sh = sharded_loss("pallas")
+    assert xla_sh == pytest.approx(unsharded, rel=1e-5)
+    assert pal_sh == pytest.approx(xla_sh, rel=2e-4)
