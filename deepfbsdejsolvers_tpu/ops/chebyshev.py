@@ -59,7 +59,10 @@ def cheb_fit(values: jax.Array) -> jax.Array:
     """Chebyshev coefficients from values at the cheb_nodes points (last
     axis), via the precomputed DCT matrix."""
     F = jnp.asarray(_cheb_tables(values.shape[-1])[1])
-    return values @ F.T
+    # full-f32: TPU's DEFAULT matmul precision quantizes through bf16 MXU
+    # passes (~4e-3 relative) — measurably biases training through the
+    # compensator (see ops/piecewise.pw_fit); this matmul is tiny.
+    return jnp.matmul(values, F.T, precision=jax.lax.Precision.HIGHEST)
 
 
 def cheb_eval(coef: jax.Array, x: jax.Array, x_lo: jax.Array,

@@ -77,7 +77,11 @@ def pw_fit(values: jax.Array, n_pieces: int, degree: int) -> jax.Array:
     d = degree + 1
     fit = jnp.asarray(_pw_tables(n_pieces, degree)[1])
     v = values.reshape(values.shape[:-1] + (n_pieces, d))
-    return v @ fit.T
+    # full-f32 matmul: TPU's DEFAULT matmul precision computes f32 through
+    # bf16 MXU passes, which quantizes the coefficients to ~4e-3 relative —
+    # a direct per-step bias in the compensator that measurably corrupts
+    # training (the round-3 gate failed at 4e-3..1.3e-2 before this fix).
+    return jnp.matmul(v, fit.T, precision=jax.lax.Precision.HIGHEST)
 
 
 def pw_eval(coef: jax.Array, x: jax.Array, x_lo: jax.Array,
@@ -93,9 +97,12 @@ def pw_eval(coef: jax.Array, x: jax.Array, x_lo: jax.Array,
     s = jnp.clip((x - x_lo) / span, 0.0, 1.0) * p              # global in [0, P]
     k = jax.lax.stop_gradient(jnp.clip(jnp.floor(s), 0, p - 1))
     t = 2.0 * (s - k) - 1.0                                    # local in [-1, 1]
-    # one-hot piece select -> per-path coefficient rows via the MXU
+    # one-hot piece select -> per-path coefficient rows via the MXU.
+    # precision=HIGHEST: DEFAULT would round the selected coefficients to
+    # bf16 on TPU (see pw_fit) — the select must be EXACT.
     onehot = (k[..., None] == jnp.arange(p, dtype=s.dtype)).astype(coef.dtype)
-    c = onehot @ coef                                          # (B, D)
+    c = jnp.matmul(onehot, coef,
+                   precision=jax.lax.Precision.HIGHEST)       # (B, D)
     acc = c[..., d - 1]
     for j in range(d - 2, -1, -1):                             # Horner, D-1 FMAs
         acc = acc * t + c[..., j]

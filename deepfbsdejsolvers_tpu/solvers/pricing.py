@@ -535,7 +535,9 @@ class PricingSolver:
         # jnp.cumsum to an O(N^2 B) reduce_window on TPU (~0.5 ms/train step
         # in the trace); the (N, N) @ (N, B) MXU product is ~30x cheaper.
         tri = jnp.tril(jnp.ones((N, N), jnp.float32))
-        csum = tri @ incr
+        # HIGHEST: default TPU matmul precision would accumulate the log-X
+        # marginals through bf16 passes (see ops/piecewise.pw_fit)
+        csum = jnp.matmul(tri, incr, precision=jax.lax.Precision.HIGHEST)
         lx0 = _math.log(model.x0)
         if shift_next:
             lx = lx0 + csum                                        # x_{i+1}
@@ -562,6 +564,17 @@ class PricingSolver:
             fit = cheb_fit
         use_gam = self._use_gam_net_flag
         steps = jnp.arange(N)
+        # Matmul-precision policy (measured on the chip, round 3): the node
+        # SWEEPS deliberately run at the platform's DEFAULT precision — on
+        # TPU the in-body realized-Γ/Z heads compute a bf16-quantized net
+        # Γ̃, and the compensator must be E_J[Γ̃] of that SAME quantized
+        # function so the quantization cancels in (Γ − comp); building the
+        # tables at full f32 is "more accurate" in isolation but mismatches
+        # the heads and inflates the loss ~2e-2.  The FIT, by contrast, must
+        # be full-f32 (explicit HIGHEST inside pw_fit/cheb_fit): the
+        # piecewise monomial fit matrix has condition ~257, so a bf16 fit
+        # matmul corrupts the evaluated function by ~1e-2 — the failure mode
+        # that broke the round-3 accuracy gate at 4e-3..1.3e-2.
         if self.compensator.kind == "mc":
             n_mc = self.compensator.n_mc
 

@@ -135,6 +135,19 @@ def main():
                                 price_mode="chebyshev"),
             merton_oracle, "global", seeds=3,
             peak_lr=3e-3, steps=2400, warm_y0=True, **speed_kw),
+        # The reference-exact MC-5000 compensator LAW through the same
+        # hoisted tables (per-step fresh node draws swept at the collocation
+        # points instead of the full batch — the round-3 fast exact-law
+        # path, 1.40e8 paths*steps/s vs 6.38e5 direct).
+        "merton_speed_mc": lambda: run_gate(
+            "merton_speed_mc",
+            make_merton_default(a_lin=0.0, jump_sampler="icdf",
+                                price_mode="chebyshev"),
+            merton_oracle, "global", seeds=3,
+            peak_lr=3e-3, steps=2400, warm_y0=True,
+            compensator=CompensatorSpec(kind="mc", n_mc=5000,
+                                        x_interp="chebyshev", n_cheb=64),
+            hoist=True, hoist_interp="piecewise"),
         "merton_multistep_diag": lambda: run_gate(
             "merton_multistep_diag",
             make_merton_default(a_lin=0.0, jump_sampler="icdf",
@@ -187,7 +200,7 @@ def main():
         "vg_speed": lambda: run_gate(
             "vg_speed",
             dataclasses.replace(vg, price_eval="chebyshev"),
-            vg_oracle, "global", compensator=cheb64),
+            vg_oracle, "global", **speed_kw),
     }
     gates = args.gates if args.gates != ["all"] else list(registry)
     for g in gates:

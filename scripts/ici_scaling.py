@@ -103,20 +103,30 @@ def collective_bytes(per_shard: int = 256, n_shards: int = 8, inner: int = 1):
     key = jax.random.key(1)
     txt = jax.jit(epoch).lower(params, opt_state, key).compile().as_text()
     ops = []
-    # e.g.:  %all-reduce.3 = f32[13313]{0} all-reduce(...)
-    pat = re.compile(
-        r"(\w[\w.-]*) = (\w+)\[([\d,]*)\][^=]* "
-        r"(all-reduce|all-gather|reduce-scatter|all-to-all|collective-permute)"
-        r"(?:-start)?\(")
-    for m in pat.finditer(txt):
-        name, dt, dims, kind = m.groups()
-        n_elem = 1
-        for d in dims.split(","):
-            if d:
-                n_elem *= int(d)
-        ops.append({"op": kind, "name": name, "dtype": dt,
-                    "elements": n_elem,
-                    "bytes": n_elem * _DTYPE_BYTES.get(dt, 4)})
+    # XLA groups the per-leaf gradient psums into ONE tuple-shaped op:
+    #   %all-reduce.1 = (f32[3,21]{1,0}, f32[21,21]{1,0}, ...) all-reduce(...)
+    # alongside scalar ones:  %psum.120 = f32[] all-reduce(...)
+    line_pat = re.compile(
+        r"%(\S+) = (.*?) (all-reduce|all-gather|reduce-scatter|all-to-all|"
+        r"collective-permute)(?:-start)?\(")
+    shape_pat = re.compile(r"(\w+)\[([\d,]*)\]")
+    for line in txt.splitlines():
+        m = line_pat.search(line)
+        if not m or "get-tuple-element" in line:
+            continue
+        name, shapes, kind = m.groups()
+        total_b = total_e = 0
+        for dt, dims in shape_pat.findall(shapes):
+            n_elem = 1
+            for d in dims.split(","):
+                if d:
+                    n_elem *= int(d)
+            total_e += n_elem
+            total_b += n_elem * _DTYPE_BYTES.get(dt, 4)
+        if not shape_pat.search(shapes):       # bare f32[] scalar
+            total_e, total_b = 1, 4
+        ops.append({"op": kind, "name": name, "elements": total_e,
+                    "bytes": total_b})
     n_params = sum(x.size for x in jax.tree.leaves(params))
     return {
         "n_shards": n_shards,
@@ -167,6 +177,33 @@ def main():
         sys.exit(subprocess.call(
             [sys.executable, os.path.abspath(__file__)] + argv, env=env))
 
+    if (args.collectives and not (args.strong or args.weak)
+            and os.environ.get("_ICI_CHILD") != "1"):
+        # pure accounting: never touch the accelerator from the parent (the
+        # axon tunnel serves one client; probing jax.devices() here could
+        # block a concurrent training job) — delegate straight to the child
+        env = dict(os.environ, _ICI_CHILD="1", JAX_PLATFORMS="cpu",
+                   XLA_FLAGS=os.environ.get("XLA_FLAGS", "")
+                   + " --xla_force_host_platform_device_count=8")
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--collectives"],
+            env=env, capture_output=True, text=True, timeout=900)
+        if out.returncode:
+            sys.stderr.write(out.stderr)
+            sys.exit(out.returncode)
+        report = json.loads(out.stdout[out.stdout.find("{"):])
+        step_time = args.stepTime if args.stepTime is not None else 14.3e-3
+        report["projection_1d_ring"] = projection(
+            step_time,
+            report["collectives"]["total_collective_bytes_per_step"],
+            args.iciBw)
+        report["projection_note"] = (
+            f"step_time={step_time}s, ici_bw={args.iciBw:.3g} B/s one-way "
+            "(v5e scaling-book figure); efficiency_overlap0 assumes NO "
+            "compute/comm overlap — the worst case")
+        print(json.dumps(report, indent=1))
+        return
+
     import jax
 
     if os.environ.get("_ICI_CHILD") == "1":
@@ -177,21 +214,9 @@ def main():
     shard_counts = [n for n in (1, 2, 4, 8, 16, 32, 64) if n <= ndev]
 
     if args.collectives:
-        if ndev >= 2:
-            report["collectives"] = collective_bytes(n_shards=min(8, ndev))
-        else:
-            # self-provision a virtual mesh in a child: collective bytes are
-            # topology-independent (param-sized grads), so CPU HLO is exact
-            env = dict(os.environ, _ICI_CHILD="1", JAX_PLATFORMS="cpu",
-                       XLA_FLAGS=os.environ.get("XLA_FLAGS", "")
-                       + " --xla_force_host_platform_device_count=8")
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--collectives"],
-                env=env, capture_output=True, text=True, timeout=900)
-            if out.returncode:
-                sys.stderr.write(out.stderr)
-                sys.exit(out.returncode)
-            report["collectives"] = json.loads(out.stdout)["collectives"]
+        # reached with >= 2 local devices (or inside the child): the
+        # single-device parent path above delegates before importing jax
+        report["collectives"] = collective_bytes(n_shards=min(8, max(ndev, 2)))
         step_time = args.stepTime if args.stepTime is not None else 14.3e-3
         report["projection_1d_ring"] = projection(
             step_time,

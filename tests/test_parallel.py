@@ -216,3 +216,33 @@ def test_dp_with_chebyshev_compensator(rng_key):
     gn = sum(float(jnp.sum(jnp.abs(g)))
              for g in jax.tree_util.tree_leaves(grads))
     assert np.isfinite(gn) and gn > 0
+
+
+def test_dp_with_hoisted_piecewise_tables(rng_key):
+    """The round-3 production speed path (hoisted per-step collocation
+    tables + piecewise evaluator — what `--fast --dataParallel` runs) under
+    shard_map: each data shard builds tables from its OWN shard's noise
+    marginals; mesh loss == serial mean of the per-shard losses."""
+    model = MertonJumpModel(T=1.0, N=4, r=0.1, muJ=0.0, sigJ=0.2, sigma=0.3,
+                            lam=3.0, K=0.9, x0=1.0, coupling=abs_coupling(0.1),
+                            price_mode="chebyshev", jump_sampler="icdf")
+    solver = PricingSolver(
+        model, "global", hidden=(8, 8),
+        compensator=CompensatorSpec(x_interp="chebyshev", n_cheb=64),
+        hoist=True, hoist_interp="piecewise")
+    params = solver.init_params(rng_key)
+    mesh = make_mesh((8,), ("data",))
+    loss_fn = solver.build_loss(16)  # per-shard batch
+    dp_loss = make_dp_loss(loss_fn, mesh)
+
+    with mesh:
+        val, grads = jax.value_and_grad(dp_loss)(params, rng_key)
+    assert np.isfinite(float(val))
+    serial = np.mean([
+        float(jax.jit(loss_fn)(params, jax.random.fold_in(rng_key, idx)))
+        for idx in range(8)
+    ])
+    assert float(val) == pytest.approx(serial, rel=1e-5)
+    gn = sum(float(jnp.sum(jnp.abs(g)))
+             for g in jax.tree_util.tree_leaves(grads))
+    assert np.isfinite(gn) and gn > 0
