@@ -119,14 +119,58 @@ VARIANTS = {
     # Euler-dominated, the bias shrinks with dt.
     "n100": dict(schedule="cosine", tail_epochs=6, warm_y0=True, n_steps=100),
     "n200": dict(schedule="cosine", tail_epochs=6, warm_y0=True, n_steps=200),
+    # Round-3 discrimination cells: the round-2 3-point fit a + b/N gave a
+    # "floor" a ~ 1.5e-3, but the same 3 points fit a + c/sqrt(N) with
+    # a ~ 1e-4 — i.e. NO floor, the signature of the aLin*|Y-A| drift
+    # rectifying the scheme's strong-Euler pathwise error (std ~ sqrt(dt)).
+    # The models diverge at N=400 (pred 1.76e-3 vs 1.29e-3) and N=800
+    # (1.63e-3 vs 0.94e-3): these cells decide, and under the sqrt model the
+    # DIRECT coupled gate passes near N~800.
+    "n400": dict(schedule="cosine", tail_epochs=6, warm_y0=True, n_steps=400),
+    "n800": dict(schedule="cosine", tail_epochs=6, warm_y0=True, n_steps=800),
 }
+
+
+def fit_bias_models(cells):
+    """Least-squares fits of bias(N) under competing asymptotics.
+
+    cells: {N: mean_abs_error}.  Returns per-model coefficients and the
+    residual RMS, for the BASELINE.md floor-vs-no-floor adjudication."""
+    Ns = np.asarray(sorted(cells), dtype=float)
+    y = np.asarray([cells[int(n)] for n in Ns])
+    out = {}
+    designs = {
+        "a+b/N": np.stack([np.ones_like(Ns), 1.0 / Ns], 1),
+        "a+c/sqrtN": np.stack([np.ones_like(Ns), Ns ** -0.5], 1),
+        "b/N+c/sqrtN": np.stack([1.0 / Ns, Ns ** -0.5], 1),
+        "c/sqrtN": (Ns ** -0.5)[:, None],
+    }
+    for name, X in designs.items():
+        coef, *_ = np.linalg.lstsq(X, y, rcond=None)
+        resid = y - X @ coef
+        out[name] = {"coef": [float(c) for c in coef],
+                     "rms_resid": float(np.sqrt(np.mean(resid ** 2))),
+                     "pred": {int(n): float(v) for n, v in
+                              zip(Ns, X @ coef)}}
+    return out
 
 
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--seeds", type=int, default=5)
     p.add_argument("--variants", nargs="*", default=list(VARIANTS))
+    p.add_argument("--fit", nargs="*", metavar="N=err", default=None,
+                   help="skip training; fit bias(N) models to the given "
+                        "cells, e.g. --fit 50=3.5e-3 100=2.5e-3 200=1.93e-3")
     args = p.parse_args()
+
+    if args.fit is not None:
+        cells = {}
+        for tok in args.fit:
+            n, e = tok.split("=")
+            cells[int(n)] = float(e)
+        print(json.dumps(fit_bias_models(cells), indent=1))
+        return
 
     summary = {}
     for name in args.variants:
