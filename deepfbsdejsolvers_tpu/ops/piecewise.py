@@ -109,6 +109,31 @@ def pw_eval(coef: jax.Array, x: jax.Array, x_lo: jax.Array,
     return acc
 
 
+def pw_eval_with_deriv(coef: jax.Array, x: jax.Array, x_lo: jax.Array,
+                       x_hi: jax.Array):
+    """(value, d/dx value) of the piecewise polynomial at x, sharing one
+    coefficient select.  Matches jax.grad(pw_eval) exactly: out-of-interval
+    points clamp, so their derivative is 0 (the clip's subgradient)."""
+    p, d = coef.shape[-2], coef.shape[-1]
+    x_lo = jax.lax.stop_gradient(x_lo)
+    x_hi = jax.lax.stop_gradient(x_hi)
+    span = jnp.maximum(x_hi - x_lo, 1e-6)
+    s_raw = (x - x_lo) / span
+    inside = ((s_raw >= 0.0) & (s_raw <= 1.0)).astype(x.dtype)
+    s = jnp.clip(s_raw, 0.0, 1.0) * p
+    k = jax.lax.stop_gradient(jnp.clip(jnp.floor(s), 0, p - 1))
+    t = 2.0 * (s - k) - 1.0
+    onehot = (k[..., None] == jnp.arange(p, dtype=s.dtype)).astype(coef.dtype)
+    c = jnp.matmul(onehot, coef, precision=jax.lax.Precision.HIGHEST)
+    acc = c[..., d - 1]
+    dacc = jnp.zeros_like(acc)
+    for j in range(d - 2, -1, -1):         # Horner for value and derivative
+        dacc = dacc * t + acc
+        acc = acc * t + c[..., j]
+    # chain rule: dt/dx = 2p/span inside the interval, 0 when clamped
+    return acc, dacc * (2.0 * p / span) * inside
+
+
 def pw_interp_1d(fn, x: jax.Array, n_pieces: int = 8, degree: int = 7,
                  robust_sigmas=None) -> jax.Array:
     """Drop-in analogue of chebyshev.interp_1d with the piecewise evaluator:

@@ -144,6 +144,25 @@ class PricingSolver:
     # Cuts while-loop iteration count (fewer buffer double-buffer copies,
     # fewer kernel launches) and lets XLA fuse across steps.  0 = off.
     scan_chunk: int = 0
+    # Hand-written transposed-adjoint VJP for the rollout (solvers/adjoint.py):
+    # the backward's head gradients (Γ-net value/∂x/params, table derivatives)
+    # are recomputed in ONE batched (N·B) pass outside any scan, leaving a
+    # pure-elementwise reverse scan.  MEASURED SLOWER than XLA autodiff on
+    # TPU (2.14e8 vs 4.22e8 paths·steps/s at 2^17: the batched passes
+    # materialize (N·B)-sized intermediates — 14.5x the HBM bytes, 6.6x the
+    # FLOPs of the in-scan streaming backward; see BASELINE.md round 3).
+    # Kept as a tested opt-in instrument (grads == autodiff to 3e-5,
+    # tests/test_adjoint.py).  Global jump-diffusion scheme on the fully
+    # hoisted piecewise path only; warns and falls back elsewhere.
+    adjoint: bool = False
+    # Scale applied to the raw step-index time feature before it enters the
+    # nets (t = i * time_scale).  1.0 is reference parity (SolversJumpDiff.py
+    # feeds the raw index).  The raw index degrades net quality at large N
+    # (the N=800 cells of the round-3 bias study collapse to ~6e-3 because
+    # the tanh first layer saturates over [0, 800] within the fixed Adam
+    # budget); time_scale = 50/N keeps the feature range of the reference's
+    # default configuration.  A study/diagnostic knob, not a default.
+    time_scale: float = 1.0
 
     def __post_init__(self):
         if self.scheme not in PRICING_SCHEMES:
@@ -226,7 +245,8 @@ class PricingSolver:
 
     def _uz(self, params, i, x):
         """U/Z head on [t=i, X] (SolversJumpDiff.py:36)."""
-        t = jnp.broadcast_to(jnp.asarray(i, x.dtype), x.shape)
+        t = jnp.broadcast_to(jnp.asarray(i, x.dtype) * self.time_scale,
+                             x.shape)
         return self._apply(params["uz"], jnp.stack([t, x], -1))
 
     def _gamma_inputs(self, i, x, j):
@@ -234,7 +254,8 @@ class PricingSolver:
         J-feature is raw J for jump-diff global (SolversJumpDiff.py:37), e^J for
         multistep2/sumlocal2 (:173), X·J for all pure-jump 2-net schemes
         (SolversPureJump.py:34)."""
-        t = jnp.broadcast_to(jnp.asarray(i, x.dtype), jnp.broadcast_shapes(x.shape, j.shape))
+        t = jnp.broadcast_to(jnp.asarray(i, x.dtype) * self.time_scale,
+                             jnp.broadcast_shapes(x.shape, j.shape))
         xb = jnp.broadcast_to(x, t.shape)
         if not self.jump_diff:
             feat = xb * jnp.broadcast_to(j, t.shape)
@@ -248,7 +269,7 @@ class PricingSolver:
         """Γ-via-U inputs for 1-net schemes: (t, X·e^J) jump-diff
         (SolversJumpDiff.py:99) / (t, X + X·J) pure-jump (SolversPureJump.py:95)."""
         shape = jnp.broadcast_shapes(x.shape, j.shape)
-        t = jnp.broadcast_to(jnp.asarray(i, x.dtype), shape)
+        t = jnp.broadcast_to(jnp.asarray(i, x.dtype) * self.time_scale, shape)
         xb = jnp.broadcast_to(x, shape)
         jb = jnp.broadcast_to(j, shape)
         arg = xb * jnp.exp(jb) if self.jump_diff else xb + xb * jb
@@ -700,12 +721,52 @@ class PricingSolver:
 
     def build_loss(self, batch: int) -> Callable[[Params, jax.Array], jax.Array]:
         """Return the pure loss closure for a static batch size."""
+        if self.adjoint and self.scheme != "global":
+            import warnings
+
+            warnings.warn(f"adjoint=True is only implemented for the global "
+                          f"scheme; scheme={self.scheme!r} uses autodiff")
         builder = getattr(self, f"_loss_{self.scheme}")
         return builder(batch)
 
     # --- global -------------------------------------------------------------
+    def _adjoint_ok(self) -> bool:
+        return (self._hoist_active() and self.hoist_interp == "piecewise"
+                and self.jump_diff and self.hoist_z
+                and self._price_collocated() and self._use_gam_net_flag
+                and self.scheme == "global")
+
+    def _loss_global_adjoint(self, batch):
+        from deepfbsdejsolvers_tpu.solvers.adjoint import (
+            make_global_adjoint_rollout)
+
+        model, N = self.model, self.model.N
+        apply_gam = lambda gp, i, x, j: self._apply(
+            gp, self._gamma_inputs(i, x, j))[..., 0]
+        roll = make_global_adjoint_rollout(model, apply_gam)
+
+        def loss(params, key):
+            noise = self._prenoise(key, batch)
+            tables = self._hoist_tables(params, noise)
+            x_n, y_n = roll(params["gam"], params["uz"]["y0"],
+                            {k: tables[k] for k in
+                             ("cc", "pc", "zc", "lo", "hi")},
+                            noise[0][:N], noise[1][:N])
+            return jnp.mean(jnp.square(y_n - model.payoff(x_n)))
+
+        return loss
+
     def _loss_global(self, batch):
         model, N, dt = self.model, self.model.N, self.model.dt
+        if self.adjoint:
+            if self._adjoint_ok():
+                return self._loss_global_adjoint(batch)
+            import warnings
+
+            warnings.warn(
+                "adjoint=True requires the fully hoisted piecewise global "
+                "jump-diffusion path (hoist=True, hoist_interp='piecewise', "
+                "hoist_z=True, collocated price); falling back to autodiff")
 
         def loss(params, key):
             x = model.init_x(batch)

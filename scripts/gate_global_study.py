@@ -39,7 +39,7 @@ CHEB64 = CompensatorSpec(x_interp="chebyshev", n_cheb=64)
 
 def run_once(seed: int, *, hidden=(21, 21), batch=8192, steps=2400,
              schedule="cosine", tail_epochs=0, peak_lr=3e-3, a_lin=0.1,
-             warm_y0=False, n_steps=None):
+             warm_y0=False, n_steps=None, solver_kw=None):
     import dataclasses as _dc
 
     model = make_merton_default(a_lin=a_lin, jump_sampler="icdf",
@@ -47,7 +47,8 @@ def run_once(seed: int, *, hidden=(21, 21), batch=8192, steps=2400,
     if n_steps is not None:
         model = _dc.replace(model, N=n_steps)
     oracle = model.price_at_origin()
-    solver = PricingSolver(model, "global", hidden=hidden, compensator=CHEB64)
+    solver = PricingSolver(model, "global", hidden=hidden, compensator=CHEB64,
+                          **(solver_kw or {}))
     params = solver.init_params(jax.random.key(seed))
     if warm_y0:
         # Initialize the trainable Y0 at the closed-form-free MC estimate of
@@ -128,6 +129,35 @@ VARIANTS = {
     # DIRECT coupled gate passes near N~800.
     "n400": dict(schedule="cosine", tail_epochs=6, warm_y0=True, n_steps=400),
     "n800": dict(schedule="cosine", tail_epochs=6, warm_y0=True, n_steps=800),
+    # The raw-index time feature (reference parity) collapses at N=800
+    # (~6e-3: the tanh first layer saturates over [0, 800] within the fixed
+    # budget).  The _ts cells rescale the feature to the N=50 range
+    # (time_scale = 50/N), isolating the SCHEME bias from net capacity; the
+    # hoisted piecewise path keeps the big-N cells affordable.
+    "n50_ts": dict(schedule="cosine", tail_epochs=6, warm_y0=True,
+                   n_steps=50, solver_kw=dict(
+                       time_scale=1.0, hoist=True,
+                       hoist_interp="piecewise")),
+    "n100_ts": dict(schedule="cosine", tail_epochs=6, warm_y0=True,
+                    n_steps=100, solver_kw=dict(
+                        time_scale=0.5, hoist=True,
+                        hoist_interp="piecewise")),
+    "n200_ts": dict(schedule="cosine", tail_epochs=6, warm_y0=True,
+                    n_steps=200, solver_kw=dict(
+                        time_scale=0.25, hoist=True,
+                        hoist_interp="piecewise")),
+    "n400_ts": dict(schedule="cosine", tail_epochs=6, warm_y0=True,
+                    n_steps=400, solver_kw=dict(
+                        time_scale=0.125, hoist=True,
+                        hoist_interp="piecewise")),
+    "n800_ts": dict(schedule="cosine", tail_epochs=6, warm_y0=True,
+                    n_steps=800, solver_kw=dict(
+                        time_scale=0.0625, hoist=True,
+                        hoist_interp="piecewise")),
+    "n1600_ts": dict(schedule="cosine", tail_epochs=6, warm_y0=True,
+                     n_steps=1600, solver_kw=dict(
+                         time_scale=0.03125, hoist=True,
+                         hoist_interp="piecewise")),
 }
 
 
