@@ -84,6 +84,17 @@ def pw_fit(values: jax.Array, n_pieces: int, degree: int) -> jax.Array:
     return jnp.matmul(v, fit.T, precision=jax.lax.Precision.HIGHEST)
 
 
+# Precision of the one-hot coefficient-select matmuls in pw_eval /
+# pw2_eval.  The select must not round the coefficients to bf16 (DEFAULT
+# would — see pw_fit), but full HIGHEST (6 bf16 MXU passes on TPU) is
+# overkill: HIGH's 3-pass decomposition already carries 3x8 = 24 mantissa
+# bits >= f32's 24, i.e. the selected values are exact to f32 rounding at
+# half the MXU issue cost.  These thin (B, P)-select matmuls sit at the
+# MXU issue floor, so pass count is directly wall-clock (measured on the
+# round-3 Γ-table path).
+SELECT_PRECISION = jax.lax.Precision.HIGH
+
+
 def pw_eval(coef: jax.Array, x: jax.Array, x_lo: jax.Array,
             x_hi: jax.Array) -> jax.Array:
     """Evaluate the piecewise polynomial at x.
@@ -97,12 +108,10 @@ def pw_eval(coef: jax.Array, x: jax.Array, x_lo: jax.Array,
     s = jnp.clip((x - x_lo) / span, 0.0, 1.0) * p              # global in [0, P]
     k = jax.lax.stop_gradient(jnp.clip(jnp.floor(s), 0, p - 1))
     t = 2.0 * (s - k) - 1.0                                    # local in [-1, 1]
-    # one-hot piece select -> per-path coefficient rows via the MXU.
-    # precision=HIGHEST: DEFAULT would round the selected coefficients to
-    # bf16 on TPU (see pw_fit) — the select must be EXACT.
+    # one-hot piece select -> per-path coefficient rows via the MXU
+    # (exact to f32 rounding at SELECT_PRECISION — see its note).
     onehot = (k[..., None] == jnp.arange(p, dtype=s.dtype)).astype(coef.dtype)
-    c = jnp.matmul(onehot, coef,
-                   precision=jax.lax.Precision.HIGHEST)       # (B, D)
+    c = jnp.matmul(onehot, coef, precision=SELECT_PRECISION)  # (B, D)
     acc = c[..., d - 1]
     for j in range(d - 2, -1, -1):                             # Horner, D-1 FMAs
         acc = acc * t + c[..., j]
@@ -124,7 +133,7 @@ def pw_eval_with_deriv(coef: jax.Array, x: jax.Array, x_lo: jax.Array,
     k = jax.lax.stop_gradient(jnp.clip(jnp.floor(s), 0, p - 1))
     t = 2.0 * (s - k) - 1.0
     onehot = (k[..., None] == jnp.arange(p, dtype=s.dtype)).astype(coef.dtype)
-    c = jnp.matmul(onehot, coef, precision=jax.lax.Precision.HIGHEST)
+    c = jnp.matmul(onehot, coef, precision=SELECT_PRECISION)
     acc = c[..., d - 1]
     dacc = jnp.zeros_like(acc)
     for j in range(d - 2, -1, -1):         # Horner for value and derivative
@@ -132,6 +141,98 @@ def pw_eval_with_deriv(coef: jax.Array, x: jax.Array, x_lo: jax.Array,
         acc = acc * t + c[..., j]
     # chain rule: dt/dx = 2p/span inside the interval, 0 when clamped
     return acc, dacc * (2.0 * p / span) * inside
+
+
+@functools.lru_cache(maxsize=None)
+def _pw_cheb_fit(degree: int):
+    """Values-at-Chebyshev-points -> local CHEBYSHEV coefficients map (D, D).
+
+    The 2-D tensor-product fit cannot use the monomial basis: the two
+    inverse-Vandermonde maps compose, so the conditioning MULTIPLIES
+    (257 x 19.6 ~ 5e3 at the default (deg 7) x (deg 4) — x f32 eps ~ 5e-4,
+    which measured as a ~1e-3 floor on the fitted Γ table that no amount of
+    piece refinement could cross).  The Chebyshev-basis collocation matrix
+    T_k(t_i) at first-kind points has condition sqrt(2) at EVERY degree, so
+    the tensor-product fit stays at O(eps)."""
+    d = degree + 1
+    k = np.arange(d)
+    t_loc = -np.cos(np.pi * (k + 0.5) / d)
+    T = np.cos(np.arange(d)[None, :] * np.arccos(np.clip(t_loc[:, None],
+                                                         -1.0, 1.0)))
+    return np.linalg.inv(T).astype(np.float32)
+
+
+def _clenshaw(c: jax.Array, t: jax.Array) -> jax.Array:
+    """Chebyshev series sum_k c[..., k] T_k(t) by Clenshaw recurrence.
+    c: (..., D); t broadcastable to c[..., 0]."""
+    d = c.shape[-1]
+    b1 = jnp.zeros_like(c[..., 0])
+    b2 = b1
+    for k in range(d - 1, 0, -1):
+        b1, b2 = c[..., k] + 2.0 * t * b1 - b2, b1
+    return c[..., 0] + t * b1 - b2
+
+
+def pw2_nodes(x_lo, x_hi, j_lo, j_hi, px: int, dx: int, pj: int, dj: int):
+    """Tensor-product sample grid for a 2-D piecewise fit.
+
+    Returns (xn, jn): xn (..., px*(dx+1)) and jn (..., pj*(dj+1)) sample
+    points on [x_lo, x_hi] x [j_lo, j_hi]; the caller evaluates the target
+    on the outer product xn[..., :, None] x jn[..., None, :]."""
+    return (pw_nodes(x_lo, x_hi, px, dx), pw_nodes(j_lo, j_hi, pj, dj))
+
+
+def pw2_fit(values: jax.Array, px: int, dx: int, pj: int, dj: int) -> jax.Array:
+    """Local 2-D CHEBYSHEV coefficients (..., px*pj, (dx+1)*(dj+1)) from
+    values on the pw2_nodes outer-product grid (..., px*(dx+1), pj*(dj+1)).
+
+    Tensor-product fit: the two 1-D Chebyshev collocation inverses applied
+    along their axes (full-f32 matmuls — see pw_fit's precision note; the
+    basis choice is a conditioning requirement, see _pw_cheb_fit)."""
+    ddx, ddj = dx + 1, dj + 1
+    fx = jnp.asarray(_pw_cheb_fit(dx))                         # (ddx, ddx)
+    fj = jnp.asarray(_pw_cheb_fit(dj))                         # (ddj, ddj)
+    *lead, nx, nj = values.shape
+    v = values.reshape(*lead, px, ddx, pj, ddj)
+    hi = jax.lax.Precision.HIGHEST
+    v = jnp.einsum("...aibj,xi->...abxj", v, fx, precision=hi)
+    v = jnp.einsum("...abxj,yj->...abxy", v, fj, precision=hi)
+    # flatten (px, pj, ddx, ddj) -> (piece = kx*pj + kj, coeff = x*ddj + y)
+    # so pw2_eval selects rows with ONE one-hot matmul over the combined
+    # piece index
+    return v.reshape(*lead, px * pj, ddx * ddj)
+
+
+def pw2_eval(coef: jax.Array, x: jax.Array, j: jax.Array, x_lo, x_hi,
+             j_lo, j_hi, px: int, dx: int, pj: int, dj: int) -> jax.Array:
+    """Evaluate the 2-D piecewise Chebyshev interpolant at (x, j).
+
+    coef: (px*pj, (dx+1)*(dj+1)) from pw2_fit (one step's table); x, j (B,).
+    Piece selection is ONE one-hot MXU matmul over the combined index
+    kx*pj + kj (exact, like pw_eval); evaluation is a nested Clenshaw:
+    dx+1 chains of 2*dj FMAs in t_j, then 2*dx in t_x (~2x the FMAs of the
+    monomial Horner — bought back many times over by the conditioning, see
+    _pw_cheb_fit).  Out-of-interval points clamp to the boundary (gradient 0
+    past the edge, like pw_eval)."""
+    ddx, ddj = dx + 1, dj + 1
+    x_lo = jax.lax.stop_gradient(x_lo)
+    x_hi = jax.lax.stop_gradient(x_hi)
+    j_lo = jax.lax.stop_gradient(j_lo)
+    j_hi = jax.lax.stop_gradient(j_hi)
+    sx = jnp.clip((x - x_lo) / jnp.maximum(x_hi - x_lo, 1e-6), 0.0, 1.0) * px
+    sj = jnp.clip((j - j_lo) / jnp.maximum(j_hi - j_lo, 1e-6), 0.0, 1.0) * pj
+    kx = jax.lax.stop_gradient(jnp.clip(jnp.floor(sx), 0, px - 1))
+    kj = jax.lax.stop_gradient(jnp.clip(jnp.floor(sj), 0, pj - 1))
+    tx = 2.0 * (sx - kx) - 1.0                                 # local [-1, 1]
+    tj = 2.0 * (sj - kj) - 1.0
+    k = kx * pj + kj
+    onehot = (k[..., None] == jnp.arange(px * pj, dtype=k.dtype)).astype(
+        coef.dtype)
+    c = jnp.matmul(onehot, coef, precision=SELECT_PRECISION)   # (B, ddx*ddj)
+    c = c.reshape(c.shape[:-1] + (ddx, ddj))
+    # inner Clenshaw in t_j for each x-degree, then outer Clenshaw in t_x
+    acc_j = _clenshaw(c, tj[..., None])                        # (B, ddx)
+    return _clenshaw(acc_j, tx)
 
 
 def pw_interp_1d(fn, x: jax.Array, n_pieces: int = 8, degree: int = 7,

@@ -139,6 +139,27 @@ class PricingSolver:
     # O(3e-5) variance, not bias.  Replaces 3 MXU head dots per step with
     # the table evaluator.
     hoist_z: bool = True
+    # Collocate the realized-jump Γ head as well (gam-net schemes on the
+    # piecewise hoisted path): per-step 2-D tensor-product piecewise tables
+    # over (x, j) — x on the same hoisted intervals as the other tables, j on
+    # the EXACT range of that step's pre-drawn jumps.  Motivation: the
+    # realized-Γ head dots were 30% of post-hoist device time (BASELINE.md
+    # round-3 trace) and this removes the last per-path per-step MLP from the
+    # scan.  MEASURED SLOWER on TPU and therefore OFF by default (round-3
+    # A/B at 2^17: 3.10e8 vs 4.33e8 paths·steps/s with exact-select
+    # precision, 3.28e8 vs 4.67e8 at DEFAULT-precision selects): the 2-D
+    # (B,32)x(32,40) one-hot select + nested Clenshaw costs more at-issue-
+    # floor MXU passes and serial (B,8)-row VPU work per step than the three
+    # thin head dots it replaces — the same conclusion as the round-1
+    # in-scan Clenshaw Γ collocation and the round-3 transposed-adjoint
+    # experiment: XLA's streaming of thin MXU matmuls through the scan is
+    # the fastest XLA-level form for this head; removing its cost requires
+    # fusing the scan body itself (Pallas), not another XLA rewrite.
+    # Correctness is gated in tests (exact on CPU to ~5e-7 loss rel);
+    # reference Γ-head semantics: SolversJumpDiff.py:37, SolversPureJump.py:34.
+    hoist_gamma: bool = False
+    pw_pieces_j: int = 4
+    pw_degree_j: int = 4
     # Chunk the time scan: outer lax.scan over N/scan_chunk chunks of
     # ``scan_chunk`` fully-unrolled steps, rematerialized at chunk boundaries.
     # Cuts while-loop iteration count (fewer buffer double-buffer copies,
@@ -620,6 +641,26 @@ class PricingSolver:
             zvals = jax.vmap(
                 lambda i, xp: self._uz(params, i, xp)[..., 0])(steps, nodes)
             out["zc"] = fit(zvals)
+        if (self.hoist_gamma and self.hoist_interp == "piecewise" and use_gam):
+            from deepfbsdejsolvers_tpu.ops.piecewise import pw2_fit, pw2_nodes
+
+            jrow = j[:N]
+            jlo = jax.lax.stop_gradient(jnp.min(jrow, axis=1))
+            jhi = jax.lax.stop_gradient(jnp.max(jrow, axis=1))
+            # The j bounds are EXACT (realized jumps are pre-drawn, unlike
+            # the coupled x marginals); the pad only guards the fit against
+            # a degenerate width when a step draws no jumps at all.
+            jpad = 0.01 * (jhi - jlo) + 1e-4
+            jlo, jhi = jlo - jpad, jhi + jpad
+            px, dx = self.pw_pieces, self.pw_degree
+            pj, dj = self.pw_pieces_j, self.pw_degree_j
+            xn, jn = pw2_nodes(lo, hi, jlo, jhi, px, dx, pj, dj)
+            gvals = jax.vmap(lambda i, xr, jr: self._apply(
+                params["gam"],
+                self._gamma_inputs(i, xr[:, None], jr[None, :]))[..., 0]
+            )(steps, xn, jn)                                   # (N, nx, nj)
+            out["gc"] = pw2_fit(gvals, px, dx, pj, dj)
+            out["jlo"], out["jhi"] = jlo, jhi
         return out
 
     @staticmethod
@@ -651,6 +692,17 @@ class PricingSolver:
             from jax.ad_checkpoint import checkpoint_name
 
             comp = self._table_eval(xs_i["cc"], x, xs_i["lo"], xs_i["hi"])
+            if "gc" in xs_i:
+                from deepfbsdejsolvers_tpu.ops.piecewise import pw2_eval
+
+                # Fully-hoisted step: Γ(realized) is a 2-D table eval —
+                # cheap to recompute, so NOTHING is checkpoint-saved and the
+                # backward's saved-head stacking traffic disappears.
+                gam = pw2_eval(xs_i["gc"], x, j, xs_i["lo"], xs_i["hi"],
+                               xs_i["jlo"], xs_i["jhi"],
+                               self.pw_pieces, self.pw_degree,
+                               self.pw_pieces_j, self.pw_degree_j)
+                return gam, comp
             gam = self._gamma_realized(params, xs_i["i"], x, j,
                                        self._use_gam_net_flag)
             # gam is an MLP output worth saving for the backward pass; comp

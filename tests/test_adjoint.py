@@ -20,8 +20,11 @@ def _pair(batch=256, n=6, a_lin=0.1, **kw):
     model = make_merton_default(a_lin=a_lin, jump_sampler="icdf",
                                 price_mode="chebyshev")
     model = dataclasses.replace(model, N=n)
+    # hoist_gamma=False: the adjoint rollout applies the Γ net directly, so
+    # the autodiff comparison must run the same (non-tabled) realized-Γ head
+    # for the losses to match float-for-float.
     common = dict(hidden=(8, 8), compensator=CHEB64, hoist=True,
-                  hoist_interp="piecewise", **kw)
+                  hoist_interp="piecewise", hoist_gamma=False, **kw)
     auto = PricingSolver(model, "global", **common)
     adj = PricingSolver(model, "global", adjoint=True, **common)
     params = auto.init_params(jax.random.key(3))

@@ -136,6 +136,68 @@ def test_piecewise_interp_accuracy():
     assert bool(jnp.all(jnp.isfinite(g)))
 
 
+def test_piecewise2d_interp_accuracy():
+    """ops/piecewise.py pw2_*: the tensor-product Chebyshev-basis fit matches
+    smooth 2-D functions on the sampled box and reproduces its own sample
+    nodes to fp roundoff (the monomial basis cannot do this: the two fit
+    conditionings MULTIPLY, ~5e3 * f32 eps — see _pw_cheb_fit)."""
+    from deepfbsdejsolvers_tpu.ops.piecewise import pw2_eval, pw2_fit, pw2_nodes
+
+    px, dx, pj, dj = 8, 7, 4, 4
+    lo, hi = jnp.float32(0.3), jnp.float32(3.0)
+    jlo, jhi = jnp.float32(-1.0), jnp.float32(1.0)
+    f = lambda x, j: jnp.tanh(x + 0.5 * j) + 0.3 * jnp.sin(2 * x) * jnp.cos(
+        3 * j) + 0.1 * x * j
+    xn, jn = pw2_nodes(lo, hi, jlo, jhi, px, dx, pj, dj)
+    vals = f(xn[:, None], jn[None, :])
+    coef = pw2_fit(vals, px, dx, pj, dj)
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.uniform(0.3, 3.0, 8192), jnp.float32)
+    j = jnp.asarray(rs.uniform(-1.0, 1.0, 8192), jnp.float32)
+    approx = pw2_eval(coef, x, j, lo, hi, jlo, jhi, px, dx, pj, dj)
+    assert float(jnp.max(jnp.abs(approx - f(x, j)))) < 2e-4
+    # exact at its own sample grid (fit+eval are inverse up to roundoff)
+    X, J = jnp.meshgrid(xn, jn, indexing="ij")
+    at_nodes = pw2_eval(coef, X.ravel(), J.ravel(), lo, hi, jlo, jhi,
+                        px, dx, pj, dj)
+    assert float(jnp.max(jnp.abs(at_nodes - vals.ravel()))) < 1e-6
+    # grads flow through the fitted values
+    g = jax.grad(lambda v: jnp.sum(pw2_eval(pw2_fit(v, px, dx, pj, dj), x, j,
+                                            lo, hi, jlo, jhi,
+                                            px, dx, pj, dj)))(vals)
+    assert bool(jnp.all(jnp.isfinite(g)))
+
+
+def test_hoist_gamma_tables_built_and_toggle(rng_key):
+    """hoist_gamma=True (opt-in: measured slower than the in-scan Γ head on
+    TPU, see the PricingSolver field note) builds the per-step 2-D Γ tables
+    ("gc", "jlo", "jhi") for gam-net schemes and removes the in-scan Γ-MLP;
+    the default leaves them off.  The loss equality with the direct path is
+    covered by test_hoisted_loss_matches_inscan (whose hoist leg opts in)."""
+    m = make_merton_default(jump_sampler="icdf", price_mode="chebyshev")
+    spec = CompensatorSpec(x_interp="chebyshev", n_cheb=64)
+    on = PricingSolver(m, "global", compensator=spec, hoist=True,
+                       hoist_interp="piecewise", hoist_gamma=True)
+    off = PricingSolver(m, "global", compensator=spec, hoist=True,
+                        hoist_interp="piecewise")
+    params = on.init_params(jax.random.key(0))
+    noise = on._prenoise(rng_key, 64)
+    t_on = on._hoist_tables(params, noise)
+    t_off = off._hoist_tables(params, noise)
+    assert {"gc", "jlo", "jhi"} <= set(t_on)
+    assert not ({"gc", "jlo", "jhi"} & set(t_off))
+    # 1-net schemes (Γ via the UZ net) have no gam net to collocate
+    one_net = PricingSolver(m, "multistep1", compensator=spec, hoist=True,
+                            hoist_interp="piecewise", hoist_gamma=True)
+    t1 = one_net._hoist_tables(one_net.init_params(jax.random.key(1)), noise)
+    assert "gc" not in t1
+    # both paths produce finite, close losses
+    l_on = float(jax.jit(on.build_loss(256))(params, rng_key))
+    l_off = float(jax.jit(off.build_loss(256))(params, rng_key))
+    assert np.isfinite(l_on) and np.isfinite(l_off)
+    assert l_on == pytest.approx(l_off, rel=5e-4)
+
+
 @pytest.mark.parametrize("scheme", ["global", "multistep1", "sumlocal2"])
 @pytest.mark.parametrize("interp", ["clenshaw", "piecewise"])
 def test_hoisted_loss_matches_inscan(rng_key, scheme, interp):
@@ -146,7 +208,8 @@ def test_hoisted_loss_matches_inscan(rng_key, scheme, interp):
     spec = CompensatorSpec(x_interp="chebyshev", n_cheb=64)
     vals, grads = {}, {}
     for tag, kw in (("base", {}),
-                    ("hoist", dict(hoist=True, hoist_interp=interp))):
+                    ("hoist", dict(hoist=True, hoist_interp=interp,
+                                   hoist_gamma=True))):
         solver = PricingSolver(m, scheme, compensator=spec, **kw)
         params = solver.init_params(jax.random.key(0))
         loss, grad = jax.value_and_grad(jax.jit(solver.build_loss(512)))(
