@@ -7,8 +7,8 @@ and reports |Y0 - oracle| against the model's closed-form/FFT price.
 Runs on whatever jax.devices() provides (TPU ~15 min total; CPU much longer).
 
 Usage: python scripts/convergence_gates.py [gate ...]
-Gates: merton_speed merton_direct merton_cheb merton_global
-       merton_global_extrapolated vg_direct vg_speed
+Gates: merton_speed merton_speed_mc merton_direct merton_cheb merton_global
+       merton_coupled_direct merton_global_extrapolated vg_direct vg_speed
        vg_global_extrapolated vg_half_coupling  (or: all)
 """
 
@@ -157,9 +157,26 @@ def main():
             "merton_coupled_diag",
             make_merton_default(jump_sampler="icdf", price_mode="chebyshev"),
             merton_oracle, "multistep1", compensator=cheb64, seeds=3),
-        # Gate-closing technique for the COUPLED Global scheme: the
-        # coupling-rectification bias is linear in aLin (BASELINE.md floor
-        # analysis), so 2*Y0(aLin/2) - Y0(aLin) cancels it.
+        # DIRECT coupled-Global gate, no extrapolation: the round-3
+        # ts-series (scripts/gate_global_study.py n*_ts cells) REFUTED the
+        # round-2 "a ~ 1.5e-3 dt->0 floor" — the coupled bias follows the
+        # strong-Euler law ~c/sqrt(N) (3.69/2.77/2.07/1.61/0.70/0.56 e-3 at
+        # N = 50/100/200/400/800/1600) and crosses 1e-3 near N=800.  The
+        # time feature is rescaled to the N=50 range (time_scale=50/N) so
+        # net capacity is not the confound (raw-index features saturate the
+        # tanh layer at N=800, BASELINE.md).  Reference scheme:
+        # SolversJumpDiff.py:17-73 at a finer grid than mainMerton's N=50.
+        "merton_coupled_direct": lambda: run_gate(
+            "merton_coupled_direct",
+            dataclasses.replace(
+                make_merton_default(a_lin=0.1, jump_sampler="icdf",
+                                    price_mode="chebyshev"), N=800),
+            merton_oracle, "global", seeds=3, peak_lr=3e-3, steps=2400,
+            warm_y0=True, time_scale=50.0 / 800.0, **speed_kw),
+        # Gate-closing technique for the COUPLED Global scheme at the
+        # reference's own N=50: the coupling-rectification bias is linear in
+        # aLin (BASELINE.md floor analysis), so 2*Y0(aLin/2) - Y0(aLin)
+        # cancels it.
         "merton_global_extrapolated": lambda: run_extrapolated_gate(
             "merton_global_extrapolated",
             lambda a: make_merton_default(a_lin=a, jump_sampler="icdf",
