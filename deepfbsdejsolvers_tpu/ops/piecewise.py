@@ -72,10 +72,18 @@ def pw_nodes(x_lo: jax.Array, x_hi: jax.Array, n_pieces: int,
 
 
 def pw_fit(values: jax.Array, n_pieces: int, degree: int) -> jax.Array:
-    """Local monomial coefficients (..., P, D) from values at the pw_nodes
-    points (..., P*D)."""
+    """Local CHEBYSHEV coefficients (..., P, D) from values at the pw_nodes
+    points (..., P*D).
+
+    Basis note: originally a local-monomial fit (inverse Vandermonde,
+    condition 257 at degree 7 -> a ~257*eps ~ 3e-5 absolute error floor in
+    f32).  The Chebyshev collocation basis is sqrt(2)-conditioned at every
+    degree, which removes that floor, matches the 2-D pw2_* fit, and is
+    what the fused rollout kernel (ops/pallas_rollout.py) evaluates;
+    pw_eval's per-piece Clenshaw costs 2x the FMAs of the monomial Horner
+    (~5% elementwise share post-hoist, measured irrelevant)."""
     d = degree + 1
-    fit = jnp.asarray(_pw_tables(n_pieces, degree)[1])
+    fit = jnp.asarray(_pw_cheb_fit(degree))
     v = values.reshape(values.shape[:-1] + (n_pieces, d))
     # full-f32 matmul: TPU's DEFAULT matmul precision computes f32 through
     # bf16 MXU passes, which quantizes the coefficients to ~4e-3 relative —
@@ -97,10 +105,11 @@ SELECT_PRECISION = jax.lax.Precision.HIGH
 
 def pw_eval(coef: jax.Array, x: jax.Array, x_lo: jax.Array,
             x_hi: jax.Array) -> jax.Array:
-    """Evaluate the piecewise polynomial at x.
+    """Evaluate the piecewise Chebyshev interpolant at x.
 
-    coef: (P, D) local monomial coefficients; x: (B,); x_lo/x_hi scalars
-    (one step's interval).  Out-of-interval x clamps to the boundary."""
+    coef: (P, D) local Chebyshev coefficients (pw_fit); x: (B,); x_lo/x_hi
+    scalars (one step's interval).  Out-of-interval x clamps to the
+    boundary."""
     p, d = coef.shape[-2], coef.shape[-1]
     x_lo = jax.lax.stop_gradient(x_lo)
     x_hi = jax.lax.stop_gradient(x_hi)
@@ -112,17 +121,19 @@ def pw_eval(coef: jax.Array, x: jax.Array, x_lo: jax.Array,
     # (exact to f32 rounding at SELECT_PRECISION — see its note).
     onehot = (k[..., None] == jnp.arange(p, dtype=s.dtype)).astype(coef.dtype)
     c = jnp.matmul(onehot, coef, precision=SELECT_PRECISION)  # (B, D)
-    acc = c[..., d - 1]
-    for j in range(d - 2, -1, -1):                             # Horner, D-1 FMAs
-        acc = acc * t + c[..., j]
-    return acc
+    b1 = jnp.zeros_like(t)
+    b2 = b1
+    for j in range(d - 1, 0, -1):          # Clenshaw, 2(D-1) FMAs
+        b1, b2 = c[..., j] + 2.0 * t * b1 - b2, b1
+    return c[..., 0] + t * b1 - b2
 
 
 def pw_eval_with_deriv(coef: jax.Array, x: jax.Array, x_lo: jax.Array,
                        x_hi: jax.Array):
-    """(value, d/dx value) of the piecewise polynomial at x, sharing one
-    coefficient select.  Matches jax.grad(pw_eval) exactly: out-of-interval
-    points clamp, so their derivative is 0 (the clip's subgradient)."""
+    """(value, d/dx value) of the piecewise Chebyshev interpolant at x,
+    sharing one coefficient select.  Matches jax.grad(pw_eval) exactly:
+    out-of-interval points clamp, so their derivative is 0 (the clip's
+    subgradient)."""
     p, d = coef.shape[-2], coef.shape[-1]
     x_lo = jax.lax.stop_gradient(x_lo)
     x_hi = jax.lax.stop_gradient(x_hi)
@@ -134,13 +145,17 @@ def pw_eval_with_deriv(coef: jax.Array, x: jax.Array, x_lo: jax.Array,
     t = 2.0 * (s - k) - 1.0
     onehot = (k[..., None] == jnp.arange(p, dtype=s.dtype)).astype(coef.dtype)
     c = jnp.matmul(onehot, coef, precision=SELECT_PRECISION)
-    acc = c[..., d - 1]
-    dacc = jnp.zeros_like(acc)
-    for j in range(d - 2, -1, -1):         # Horner for value and derivative
-        dacc = dacc * t + acc
-        acc = acc * t + c[..., j]
+    b1 = jnp.zeros_like(t)
+    b2 = b1
+    db1 = jnp.zeros_like(t)
+    db2 = db1
+    for j in range(d - 1, 0, -1):          # Clenshaw for value + derivative
+        b1, b2, db1, db2 = (c[..., j] + 2.0 * t * b1 - b2, b1,
+                            2.0 * b1 + 2.0 * t * db1 - db2, db1)
+    val = c[..., 0] + t * b1 - b2
+    dval = b1 + t * db1 - db2
     # chain rule: dt/dx = 2p/span inside the interval, 0 when clamped
-    return acc, dacc * (2.0 * p / span) * inside
+    return val, dval * (2.0 * p / span) * inside
 
 
 @functools.lru_cache(maxsize=None)

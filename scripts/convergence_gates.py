@@ -135,6 +135,19 @@ def main():
                                 price_mode="chebyshev"),
             merton_oracle, "global", seeds=3,
             peak_lr=3e-3, steps=2400, warm_y0=True, **speed_kw),
+        # The same speed-config gate through the fused whole-rollout Pallas
+        # kernels (ops/pallas_rollout.py): forward + hand-adjoint backward
+        # each as ONE kernel.  Gradients match XLA autodiff to 3e-5 rel
+        # (tests/test_pallas_rollout.py), so this gate is the end-to-end
+        # on-hardware confirmation that the fused path trains to the same
+        # accuracy as merton_speed.
+        "merton_speed_fused": lambda: run_gate(
+            "merton_speed_fused",
+            make_merton_default(a_lin=0.0, jump_sampler="icdf",
+                                price_mode="chebyshev"),
+            merton_oracle, "global", seeds=3,
+            peak_lr=3e-3, steps=2400, warm_y0=True, fused_rollout=True,
+            **speed_kw),
         # The reference-exact MC-5000 compensator LAW through the same
         # hoisted tables (per-step fresh node draws swept at the collocation
         # points instead of the full batch — the round-3 fast exact-law
@@ -160,19 +173,23 @@ def main():
         # DIRECT coupled-Global gate, no extrapolation: the round-3
         # ts-series (scripts/gate_global_study.py n*_ts cells) REFUTED the
         # round-2 "a ~ 1.5e-3 dt->0 floor" — the coupled bias follows the
-        # strong-Euler law ~c/sqrt(N) (3.69/2.77/2.07/1.61/0.70/0.56 e-3 at
-        # N = 50/100/200/400/800/1600) and crosses 1e-3 near N=800.  The
-        # time feature is rescaled to the N=50 range (time_scale=50/N) so
-        # net capacity is not the confound (raw-index features saturate the
-        # tanh layer at N=800, BASELINE.md).  Reference scheme:
-        # SolversJumpDiff.py:17-73 at a finer grid than mainMerton's N=50.
+        # strong-Euler law ~0.027/sqrt(N) (3.69/2.77/2.07/1.61/0.70/0.56 e-3
+        # at N = 50/100/200/400/800/1600) and crosses 1e-3 between N=800
+        # (predicted 0.96e-3 — AT the gate, per-seed passes are marginal:
+        # 3/3 in the study draw, 2/3 under this gate's seed protocol) and
+        # N=1600 (predicted 0.68e-3, robustly inside), so the operational
+        # gate runs N=1600.  The time feature is rescaled to the N=50 range
+        # (time_scale=50/N) so net capacity is not the confound (raw-index
+        # features saturate the tanh layer at N>=800, BASELINE.md).
+        # Reference scheme: SolversJumpDiff.py:17-73 at a finer grid than
+        # mainMerton's N=50.
         "merton_coupled_direct": lambda: run_gate(
             "merton_coupled_direct",
             dataclasses.replace(
                 make_merton_default(a_lin=0.1, jump_sampler="icdf",
-                                    price_mode="chebyshev"), N=800),
+                                    price_mode="chebyshev"), N=1600),
             merton_oracle, "global", seeds=3, peak_lr=3e-3, steps=2400,
-            warm_y0=True, time_scale=50.0 / 800.0, **speed_kw),
+            warm_y0=True, time_scale=50.0 / 1600.0, **speed_kw),
         # Gate-closing technique for the COUPLED Global scheme at the
         # reference's own N=50: the coupling-rectification bias is linear in
         # aLin (BASELINE.md floor analysis), so 2*Y0(aLin/2) - Y0(aLin)
