@@ -24,7 +24,7 @@ import time
 
 
 def build(batch: int, compensator: str, parity: bool, model_name: str = "merton",
-          sweep: str = None, adjoint: bool = False):
+          sweep: str = None, adjoint: bool = False, fused: bool = False):
     import jax
 
     from deepfbsdejsolvers_tpu.models.merton import make_merton_default
@@ -106,7 +106,8 @@ def build(batch: int, compensator: str, parity: bool, model_name: str = "merton"
             model, "global",
             compensator=CompensatorSpec(kind=compensator,
                                         x_interp="chebyshev", n_cheb=64),
-            hoist=True, hoist_interp="piecewise", adjoint=adjoint)
+            hoist=True, hoist_interp="piecewise", adjoint=adjoint,
+            fused_rollout=fused)
     params = solver.init_params(jax.random.key(0))
     optimizer = make_adam(4e-4)
     opt_state = optimizer.init(params)
@@ -117,13 +118,13 @@ def build(batch: int, compensator: str, parity: bool, model_name: str = "merton"
 def measure(batch: int, inner: int, rounds: int, compensator: str,
             parity: bool = False, model_name: str = "merton",
             sweep: str = None, rng: str = "threefry",
-            adjoint: bool = False) -> dict:
+            adjoint: bool = False, fused: bool = False) -> dict:
     import jax
 
     from deepfbsdejsolvers_tpu.solvers.train import make_epoch_fn
 
     model, solver, params, optimizer, opt_state, loss_fn = build(
-        batch, compensator, parity, model_name, sweep, adjoint)
+        batch, compensator, parity, model_name, sweep, adjoint, fused)
     epoch = make_epoch_fn(loss_fn, optimizer, inner)
     # "rbg": hardware-counter PRNG — ~+10% throughput at 2^17 (threefry's
     # per-draw ALU work is a real cost in this RNG-heavy loop); kept opt-in
@@ -233,6 +234,12 @@ def main():
                         "14.5x the HBM bytes, 6.6x the FLOPs of the in-scan "
                         "streaming autodiff).  Kept as an opt-in instrument; "
                         "see BASELINE.md round-3 notes")
+    p.add_argument("--fused", action=argparse.BooleanOptionalAction,
+                   default=False,
+                   help="fused whole-rollout Pallas kernels for the merton "
+                        "speed config (ops/pallas_rollout.py): the entire "
+                        "N-step forward and hand-adjoint backward each run "
+                        "as ONE kernel over batch tiles")
     p.add_argument("--anchor", action="store_true",
                    help="measure the CPU anchor and write bench_baseline.json")
     args = p.parse_args()
@@ -259,7 +266,8 @@ def main():
         return
 
     res = measure(args.batch, args.inner, args.rounds, args.compensator,
-                  args.parity, args.model, args.sweep, args.rng, args.adjoint)
+                  args.parity, args.model, args.sweep, args.rng, args.adjoint,
+                  args.fused)
     vs = None
     if args.model == "merton" and os.path.exists(ANCHOR_FILE):
         with open(ANCHOR_FILE) as f:

@@ -1,0 +1,448 @@
+"""Fused whole-rollout Pallas kernels for the hoisted global scheme.
+
+Why (BASELINE.md round 3): after the collocation hoist the train step is
+bound by (a) the realized-Γ head's thin per-step dot_generals (~30% of
+device time: jvp + transpose + remat re-forward, each a K-padded MXU call
+dispatched per scan iteration), (b) scan-buffer traffic (~29%:
+dynamic_update_slice stacking of saved heads + per-step xs reads), and
+(c) kernel-gap idle (~19%).  Two XLA-level restructurings were measured
+and rejected (the transposed-adjoint batched backward, solvers/adjoint.py,
+2.14e8 vs 4.22e8; the 2-D Γ-table collocation, 3.10e8 vs 4.33e8): at the
+XLA level the streamed thin matmuls ARE the floor.  The remaining lever is
+fusing the scan body itself — this module.
+
+Design
+------
+Forward and backward are each ONE `pl.pallas_call` over a 1-D grid of
+batch tiles (`TILE` paths per program).  Within a program every per-path
+scalar lives in VMEM as an ``(8, TILE//8)`` block — the VPU's native
+(sublane, lane) tile, so every elementwise op runs at full vector width
+(a first draft used (1, TILE) rows: one sublane, 1/8 utilization, and it
+measured only ~4% over XLA) — and stacked quantities (one-hot pieces,
+Chebyshev coefficient rows, MLP activations) are ``(K, 8, TILE//8)`` with
+the contractions written as multi-free-dim dot_generals so nothing ever
+relayouts.  The whole N-step rollout runs in a `fori_loop` with NO HBM
+round-trips for the carry, no per-step kernel dispatch, no scan stacking:
+
+* the piecewise tables (N, D, P) and the noise block sit in VMEM for the
+  program's lifetime; interval bounds are SMEM scalars;
+* piece-select is one (D, P) x (P, 8, L) dot_general against a computed
+  one-hot, per-piece Chebyshev Clenshaw runs on (8, L) tiles (the tables
+  are local-Chebyshev coefficients — ops/piecewise.pw_fit);
+* the Γ head runs feature-major: rank-1 first layer (W1t t_i + W1x x +
+  W1j j + b1 broadcast over the path tile), an (H, H) x (H, 8, L)
+  dot_general middle layer, an (H, 1)-contraction output; the scalar
+  output bias b3 is folded exactly into the compensator table's T_0 row
+  ((gam + b3) - comp == gam - (comp - b3)), so the kernel never sees it;
+* the forward stores exactly two (N, B) residual trajectories (x_i
+  pre-step, y_{i+1} post-update) to HBM — the same residuals as the
+  verified transposed-adjoint (solvers/adjoint.py:66-86), whose recurrence
+  the backward kernel replays per tile with (8, L) adjoint carries,
+  accumulating parameter/table cotangents in VMEM across the sequential
+  grid.
+
+Model scope: the Merton-form jump-diffusion global scheme on the fully
+hoisted piecewise path — f(y) = -r y, coupling(u) = aLin |u|,
+log-increments drift + sigma dW + J (models/merton.py:173-192,235-241;
+reference semantics SolversJumpDiff.py:25-52).  The model constants are
+baked into the kernel at trace time; the caller gates applicability
+SEMANTICALLY (merton_form_constants probes the model's own callables) and
+falls back to the XLA scan loudly (PricingSolver._fused_ok).
+
+Gradient correctness is tested against XLA autodiff of the identical
+rollout (tests/test_pallas_rollout.py, same harness as the adjoint).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+TILE = 1024
+_R = 8          # sublane rows of a path tile
+
+# All in-kernel dot_generals carry an explicit precision: Mosaic's default
+# tpu.matmul computes f32 through bf16 MXU passes, which quantizes the
+# selected Chebyshev coefficients to ~4e-3 relative — the same numerics
+# class that FAILED the 3-seed accuracy gate on the XLA path (BASELINE.md
+# select-precision note).  HIGHEST = full-f32 products.
+_PREC = jax.lax.Precision.HIGHEST
+
+
+def _clenshaw_k(c, t):
+    """Chebyshev series over the leading axis: c (D, 8, L), t (8, L)."""
+    d = c.shape[0]
+    b1 = jnp.zeros_like(t)
+    b2 = b1
+    for k in range(d - 1, 0, -1):
+        b1, b2 = c[k] + 2.0 * t * b1 - b2, b1
+    return c[0] + t * b1 - b2
+
+
+def _clenshaw_k_deriv(c, t):
+    """(value, d/dt value) of the Chebyshev series (leading-axis layout)."""
+    d = c.shape[0]
+    b1 = jnp.zeros_like(t)
+    b2 = b1
+    db1 = jnp.zeros_like(t)
+    db2 = db1
+    for k in range(d - 1, 0, -1):
+        b1, b2, db1, db2 = (c[k] + 2.0 * t * b1 - b2, b1,
+                            2.0 * b1 + 2.0 * t * db1 - db2, db1)
+    return c[0] + t * b1 - b2, b1 + t * db1 - db2
+
+
+def _cheb_basis_k(t, d):
+    """T_0..T_{d-1}(t) stacked on a new leading axis: t (8, L) -> (d, 8, L)."""
+    rows = [jnp.ones_like(t)[None], t[None]]
+    for _ in range(d - 2):
+        rows.append(2.0 * t[None] * rows[-1] - rows[-2])
+    return jnp.concatenate(rows[:d], axis=0)
+
+
+def _piece_onehot(x, lo, hi, p):
+    """(one-hot (P, 8, L), local t (8, L), dt/dx (8, L)); out-of-interval x
+    clamps like ops/piecewise.pw_eval (derivative 0 past the edge)."""
+    span = jnp.maximum(hi - lo, 1e-6)
+    s_raw = (x - lo) / span
+    inside = ((s_raw >= 0.0) & (s_raw <= 1.0)).astype(x.dtype)
+    s = jnp.clip(s_raw, 0.0, 1.0) * p
+    k = jnp.clip(jnp.floor(s), 0.0, p - 1.0)
+    t = 2.0 * (s - k) - 1.0
+    rows = jax.lax.broadcasted_iota(jnp.int32, (p,) + x.shape, 0)
+    onehot = (rows == k.astype(jnp.int32)[None]).astype(x.dtype)
+    return onehot, t, (2.0 * p / span) * inside
+
+
+def _sum_paths(v):
+    """(K, 8, L) -> (K, 1) path-tile reduction without 1-D intermediates
+    (Mosaic layout inference CHECK-fails on rank-1 vectors)."""
+    return jnp.sum(v.reshape(v.shape[0], v.shape[1] * v.shape[2]),
+                   axis=1, keepdims=True)
+
+
+def _dot_k(a, b):
+    """Contract leading axes: (K, M...) x (K, R, L) -> (M..., R, L) with
+    a 2-D; i.e. (K, M) x (K, 8, L) -> (M, 8, L)."""
+    return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
+                               precision=_PREC,
+                               preferred_element_type=jnp.float32)
+
+
+def _dot_paths(a, b):
+    """Contract the path tile: (Ka, 8, L) x (Kb, 8, L) -> (Ka, Kb).
+
+    Mosaic's tpu.matmul requires exactly ONE contracting dim (and batch
+    dims at position 0 only), so the (8, L) tile is flattened to one
+    lane axis first — measured exact and supported in-kernel."""
+    ka, kb = a.shape[0], b.shape[0]
+    ar = a.reshape(ka, a.shape[1] * a.shape[2])
+    br = b.reshape(kb, b.shape[1] * b.shape[2])
+    return jax.lax.dot_general(ar, br, (((1,), (1,)), ((), ())),
+                               precision=_PREC,
+                               preferred_element_type=jnp.float32)
+
+
+def _select(cT_step, onehot):
+    """(D, P) x (P, 8, L) -> per-path coefficient stacks (D, 8, L)."""
+    return jax.lax.dot_general(cT_step, onehot, (((1,), (0,)), ((), ())),
+                               precision=_PREC,
+                               preferred_element_type=jnp.float32)
+
+
+def merton_form_constants(model):
+    """Extract (r, a_lin, sigma, drift, x0) if the model has the exact
+    Merton forms the kernel bakes in — f(y) = -r y, coupling(u) = aLin |u|,
+    log-increments drift + sigma dW + J — else None.  The check is
+    SEMANTIC (numeric probes of the model's own callables), not nominal:
+    a model with differently-shaped dynamics fails it even if the
+    attributes exist."""
+    import numpy as np
+
+    try:
+        r = float(model.r)
+        sigma = float(model.sigma)
+        x0 = float(model.x0)
+        u = jnp.asarray([-3.0, -1.0, 0.5, 2.0], jnp.float32)
+        cu = np.asarray(model.coupling(u))
+        a_lin = float(cu[1])
+        if not np.allclose(cu, a_lin * np.abs(np.asarray(u)), rtol=1e-6,
+                           atol=1e-12):
+            return None
+        fu = np.asarray(model.f(u))
+        if not np.allclose(fu, -r * np.asarray(u), rtol=1e-6, atol=1e-12):
+            return None
+        z = jnp.zeros(())
+        drift = float(model.uncoupled_log_increments(z, z))
+        one = jnp.ones(())
+        if not (np.isclose(float(model.uncoupled_log_increments(one, z)),
+                           drift + sigma, rtol=1e-6)
+                and np.isclose(float(model.uncoupled_log_increments(z, one)),
+                               drift + 1.0, rtol=1e-6)):
+            return None
+        return r, a_lin, sigma, drift, x0
+    except Exception:
+        return None
+
+
+def make_fused_rollout(model, hidden: int, time_scale: float = 1.0,
+                       n_pieces: int = 8, degree: int = 7,
+                       interpret: bool = False) -> Callable:
+    """Build ``rollout(gam_params, y0, tables, dw, j) -> (x_N, y_N)`` with a
+    fused-Pallas custom VJP (same interface and residuals as
+    solvers/adjoint.make_global_adjoint_rollout)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    consts = merton_form_constants(model)
+    if consts is None:
+        raise ValueError("make_fused_rollout requires a Merton-form model "
+                         "(see merton_form_constants)")
+    r, a_lin, sigma, drift, x0 = consts
+    dt = float(model.dt)
+    h = hidden
+    p_, d_ = n_pieces, degree + 1
+    L = TILE // _R
+
+    def _mlp_fwd(w1c, b1, w2, b2, w3, i, x, jr):
+        """Feature-major Γ head; returns (h1, h2 (H, 8, L), gam (8, L))."""
+        t_i = jnp.float32(time_scale) * i.astype(jnp.float32)
+        pre1 = (w1c[:, 0:1, 0:1] * t_i + w1c[:, 1:2, 0:1] * x[None]
+                + w1c[:, 2:3, 0:1] * jr[None] + b1[:, :, None])
+        h1 = jnp.tanh(pre1)
+        h2 = jnp.tanh(_dot_k(w2, h1) + b2[:, :, None])
+        gam = _dot_k(w3, h2)[0]
+        return h1, h2, gam
+
+    # ------------------------------------------------------------- forward
+    def _fwd_kernel(dw_ref, j_ref, ccT_ref, pcT_ref, zcT_ref, lo_ref, hi_ref,
+                    w1c_ref, b1_ref, w2_ref, b2_ref, w3_ref, y0_ref,
+                    xn_ref, yn_ref, xs_ref, ys_ref):
+        n = dw_ref.shape[0]
+        w1c = w1c_ref[:]                                   # (H, 3)
+        b1 = b1_ref[:]                                     # (H, 1)
+        w2 = w2_ref[:]
+        b2 = b2_ref[:]
+        w3 = w3_ref[:]
+        x = jnp.full((_R, L), x0, jnp.float32)
+        y = jnp.full((_R, L), 1.0, jnp.float32) * y0_ref[0, 0]
+
+        def body(i, carry):
+            x, y = carry
+            xs_ref[i] = x[None]
+            dwr = dw_ref[i][0]
+            jr = j_ref[i][0]
+            onehot, t, _ = _piece_onehot(x, lo_ref[i, 0], hi_ref[i, 0], p_)
+            comp = _clenshaw_k(_select(ccT_ref[i], onehot), t)
+            _, _, gam = _mlp_fwd(w1c[:, :, None], b1, w2, b2, w3, i, x, jr)
+            y = y * (1.0 + r * dt) + gam - comp
+            z = _clenshaw_k(_select(zcT_ref[i], onehot), t)
+            y = y + z * dwr
+            a = _clenshaw_k(_select(pcT_ref[i], onehot), t)
+            ys_ref[i] = y[None]
+            e = jnp.exp(drift + sigma * dwr + jr)
+            x = x * e + (a_lin * jnp.abs(y - a)) * dt
+            return (x, y)
+
+        x, y = jax.lax.fori_loop(0, n, body, (x, y))
+        xn_ref[0] = x
+        yn_ref[0] = y
+
+    # ------------------------------------------------------------ backward
+    def _bwd_kernel(dw_ref, j_ref, ccT_ref, pcT_ref, zcT_ref, lo_ref, hi_ref,
+                    w1c_ref, b1_ref, w2_ref, b2_ref, w3_ref,
+                    xs_ref, ys_ref, cxn_ref, cyn_ref,
+                    dw1c_ref, db1_ref, dw2_ref, db2_ref, dw3_ref,
+                    ccb_ref, pcb_ref, zcb_ref, dy0_ref):
+        n = dw_ref.shape[0]
+
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            dw1c_ref[:] = jnp.zeros_like(dw1c_ref)
+            db1_ref[:] = jnp.zeros_like(db1_ref)
+            dw2_ref[:] = jnp.zeros_like(dw2_ref)
+            db2_ref[:] = jnp.zeros_like(db2_ref)
+            dw3_ref[:] = jnp.zeros_like(dw3_ref)
+            ccb_ref[:] = jnp.zeros_like(ccb_ref)
+            pcb_ref[:] = jnp.zeros_like(pcb_ref)
+            zcb_ref[:] = jnp.zeros_like(zcb_ref)
+            dy0_ref[0, 0] = 0.0
+
+        w1c = w1c_ref[:]
+        b1 = b1_ref[:]
+        w2 = w2_ref[:]
+        b2 = b2_ref[:]
+        w3 = w3_ref[:]
+
+        def body(kk, carry):
+            xb, yb = carry
+            i = n - 1 - kk
+            x = xs_ref[i][0]
+            yrow = ys_ref[i][0]
+            dwr = dw_ref[i][0]
+            jr = j_ref[i][0]
+            onehot, t, dtdx = _piece_onehot(x, lo_ref[i, 0], hi_ref[i, 0],
+                                            p_)
+            _, dcd = _clenshaw_k_deriv(_select(ccT_ref[i], onehot), t)
+            a_vals, dad = _clenshaw_k_deriv(_select(pcT_ref[i], onehot), t)
+            _, dzd = _clenshaw_k_deriv(_select(zcT_ref[i], onehot), t)
+            cps, aps, zps = dcd * dtdx, dad * dtdx, dzd * dtdx
+            h1, h2, _ = _mlp_fwd(w1c[:, :, None], b1, w2, b2, w3, i, x, jr)
+            s1 = 1.0 - h1 * h1
+            s2 = 1.0 - h2 * h2
+            # forward-mode dΓ/dx
+            # (w1c[:, 1:2][..., None], NOT w1c[:, 1:2, None]: jax 0.9 lowers
+            # a slice mixed with newaxis in one getitem to a gather, which
+            # Mosaic cannot lower)
+            u2 = s2 * _dot_k(w2, w1c[:, 1:2][:, :, None] * s1)
+            gx = _dot_k(w3, u2)[0]
+            # adjoint recurrence (solvers/adjoint.py abody; Merton forms
+            # f' = -r, phi' = aLin sign(u))
+            u = yrow - a_vals
+            ub = xb * (a_lin * jnp.sign(u)) * dt
+            yb = yb + ub
+            e = jnp.exp(drift + sigma * dwr + jr)
+            gbar = yb
+            xb = (xb * e - gbar * cps + gbar * dwr * zps - ub * aps
+                  + gbar * gx)
+            yb = yb * (1.0 + r * dt)
+            # ---- Γ-head parameter cotangents
+            dp2 = (w3[:, :, None] * gbar[None]) * s2       # (H, 8, L)
+            dw3_ref[:] += _dot_paths(h2, gbar[None]).reshape(h, 1)
+            dw2_ref[:] += _dot_paths(h1, dp2)              # (H_a, H_o)
+            db2_ref[:] += _sum_paths(dp2)
+            dp1 = jax.lax.dot_general(
+                w2, dp2, (((1,), (0,)), ((), ())), precision=_PREC,
+                preferred_element_type=jnp.float32) * s1   # (H, 8, L)
+            t_i = jnp.float32(time_scale) * i.astype(jnp.float32)
+            rs1 = _sum_paths(dp1)
+            # one full-block accumulate: column-sliced ref updates
+            # (ref[:, 0:1] +=) discharge to a gather Mosaic cannot lower
+            dw1c_ref[:] += jnp.concatenate(
+                [t_i * rs1,
+                 _sum_paths(dp1 * x[None]),
+                 _sum_paths(dp1 * jr[None])],
+                axis=1)
+            db1_ref[:] += rs1
+            # ---- table cotangents: Chebyshev basis rows at t scattered to
+            # pieces through the shared one-hot
+            basis = _cheb_basis_k(t, d_)                   # (D, 8, L)
+            ccb_ref[i] += _dot_paths(basis * (-gbar)[None], onehot)
+            zcb_ref[i] += _dot_paths(basis * (gbar * dwr)[None], onehot)
+            pcb_ref[i] += _dot_paths(basis * (-ub)[None], onehot)
+            return (xb, yb)
+
+        xb, yb = jax.lax.fori_loop(0, n, body,
+                                   (cxn_ref[0], cyn_ref[0]))
+        dy0_ref[0, 0] += jnp.sum(yb)
+
+    # ---------------------------------------------------------- XLA wrapper
+    def _prep(gam_params, tables):
+        w1, w2, w3 = gam_params["W"]
+        b1, b2, b3 = gam_params["b"]
+        ccT = jnp.swapaxes(tables["cc"], -1, -2)           # (N, D, P)
+        # fold the Γ output bias into the compensator table's T_0 row:
+        # (gam + b3) - comp == gam - (comp - b3), exactly
+        ccT = ccT.at[:, 0, :].add(-b3[0])
+        return (w1.T, b1[:, None], w2, b2[:, None], w3, ccT,
+                jnp.swapaxes(tables["pc"], -1, -2),
+                jnp.swapaxes(tables["zc"], -1, -2),
+                tables["lo"][:, None], tables["hi"][:, None])
+
+    def _tile4(a, n, grid):
+        """(N, B) -> (N, G, 8, L) view matching the per-tile path order."""
+        return a.reshape(n, grid, _R, L)
+
+    def _fwd_call(gam_params, y0, tables, dw, j):
+        n, batch = dw.shape
+        grid = batch // TILE
+        w1T, b1, w2, b2, w3, ccT, pcT, zcT, lo, hi = _prep(gam_params,
+                                                           tables)
+        vm = pl.BlockSpec(memory_space=pltpu.VMEM)
+        sm = pl.BlockSpec(memory_space=pltpu.SMEM)
+        tile = pl.BlockSpec((n, 1, _R, L), lambda t: (0, t, 0, 0),
+                            memory_space=pltpu.VMEM)
+        out1 = pl.BlockSpec((1, _R, L), lambda t: (t, 0, 0),
+                            memory_space=pltpu.VMEM)
+        f32 = jax.ShapeDtypeStruct
+        xn, yn, xs, ys = pl.pallas_call(
+            _fwd_kernel,
+            grid=(grid,),
+            in_specs=[tile, tile, vm, vm, vm, sm, sm, vm, vm, vm, vm, vm,
+                      sm],
+            out_specs=[out1, out1, tile, tile],
+            out_shape=[f32((grid, _R, L), jnp.float32),
+                       f32((grid, _R, L), jnp.float32),
+                       f32((n, grid, _R, L), jnp.float32),
+                       f32((n, grid, _R, L), jnp.float32)],
+            interpret=interpret,
+        )(_tile4(dw, n, grid), _tile4(j, n, grid), ccT, pcT, zcT, lo, hi,
+          w1T, b1, w2, b2, w3, jnp.reshape(y0, (1, 1)))
+        return (xn.reshape(batch), yn.reshape(batch), xs, ys)
+
+    def _bwd_call(gam_params, tables, dw, j, xs, ys, cxn, cyn):
+        n, batch = dw.shape
+        grid = batch // TILE
+        w1T, b1, w2, b2, w3, ccT, pcT, zcT, lo, hi = _prep(gam_params,
+                                                           tables)
+        vm = pl.BlockSpec(memory_space=pltpu.VMEM)
+        sm = pl.BlockSpec(memory_space=pltpu.SMEM)
+        tile = pl.BlockSpec((n, 1, _R, L), lambda t: (0, t, 0, 0),
+                            memory_space=pltpu.VMEM)
+        in1 = pl.BlockSpec((1, _R, L), lambda t: (t, 0, 0),
+                           memory_space=pltpu.VMEM)
+        acc = lambda *shape: pl.BlockSpec(
+            shape, lambda t, _s=len(shape): (0,) * _s,
+            memory_space=pltpu.VMEM)
+        f32 = jax.ShapeDtypeStruct
+        outs = pl.pallas_call(
+            _bwd_kernel,
+            grid=(grid,),
+            in_specs=[tile, tile, vm, vm, vm, sm, sm, vm, vm, vm, vm, vm,
+                      tile, tile, in1, in1],
+            out_specs=[acc(h, 3), acc(h, 1), acc(h, h), acc(h, 1),
+                       acc(h, 1), acc(n, d_, p_), acc(n, d_, p_),
+                       acc(n, d_, p_), sm],
+            out_shape=[f32((h, 3), jnp.float32), f32((h, 1), jnp.float32),
+                       f32((h, h), jnp.float32), f32((h, 1), jnp.float32),
+                       f32((h, 1), jnp.float32),
+                       f32((n, d_, p_), jnp.float32),
+                       f32((n, d_, p_), jnp.float32),
+                       f32((n, d_, p_), jnp.float32),
+                       f32((1, 1), jnp.float32)],
+            interpret=interpret,
+        )(_tile4(dw, n, grid), _tile4(j, n, grid), ccT, pcT, zcT, lo, hi,
+          w1T, b1, w2, b2, w3, xs, ys,
+          cxn.reshape(grid, _R, L), cyn.reshape(grid, _R, L))
+        dw1c, db1, dw2, db2, dw3, ccb, pcb, zcb, dy0 = outs
+        # b3's cotangent: it entered as -1 on cc's T_0 row for every
+        # (step, piece)
+        db3 = -jnp.sum(ccb[:, 0, :])[None]
+        gam_grads = {"W": [dw1c.T, dw2, dw3], "b": [db1[:, 0], db2[:, 0],
+                                                    db3]}
+        tbar = {"cc": jnp.swapaxes(ccb, -1, -2),
+                "pc": jnp.swapaxes(pcb, -1, -2),
+                "zc": jnp.swapaxes(zcb, -1, -2),
+                "lo": jnp.zeros_like(tables["lo"]),
+                "hi": jnp.zeros_like(tables["hi"])}
+        return (gam_grads, dy0[0, 0], tbar,
+                jnp.zeros_like(dw), jnp.zeros_like(j))
+
+    @jax.custom_vjp
+    def rollout(gam_params, y0, tables, dw, j):
+        x_n, y_n, _, _ = _fwd_call(gam_params, y0, tables, dw, j)
+        return x_n, y_n
+
+    def fwd(gam_params, y0, tables, dw, j):
+        x_n, y_n, xs, ys = _fwd_call(gam_params, y0, tables, dw, j)
+        return (x_n, y_n), (gam_params, tables, dw, j, xs, ys)
+
+    def bwd(res, cot):
+        gam_params, tables, dw, j, xs, ys = res
+        cxn, cyn = cot
+        return _bwd_call(gam_params, tables, dw, j, xs, ys, cxn, cyn)
+
+    rollout.defvjp(fwd, bwd)
+    return rollout

@@ -176,6 +176,17 @@ class PricingSolver:
     # tests/test_adjoint.py).  Global jump-diffusion scheme on the fully
     # hoisted piecewise path only; warns and falls back elsewhere.
     adjoint: bool = False
+    # Fused whole-rollout Pallas kernels (ops/pallas_rollout.py): the entire
+    # N-step forward AND the hand-adjoint backward each run as ONE Pallas
+    # kernel over batch tiles — VMEM-resident carries, no per-step kernel
+    # dispatch, no scan-buffer stacking, tables in VMEM.  This is the fusion
+    # the round-3 profile said the remaining ~50% of step time (thin head
+    # dots at the MXU issue floor + scan buffer traffic + kernel-gap idle)
+    # requires; the XLA-level alternatives are measured dead ends (see
+    # ``adjoint`` and ``hoist_gamma``).  Applies to the Merton-form global
+    # jump-diffusion scheme on the fully hoisted piecewise path with equal
+    # tanh hidden layers and batch % 1024 == 0; falls back loudly elsewhere.
+    fused_rollout: bool = False
     # Scale applied to the raw step-index time feature before it enters the
     # nets (t = i * time_scale).  1.0 is reference parity (SolversJumpDiff.py
     # feeds the raw index).  The raw index degrades net quality at large N
@@ -788,6 +799,46 @@ class PricingSolver:
                 and self._price_collocated() and self._use_gam_net_flag
                 and self.scheme == "global")
 
+    def _fused_ok(self, batch) -> bool:
+        """Whether the fused-Pallas rollout (ops/pallas_rollout.py) applies:
+        the adjoint-path conditions plus a Merton-form model (constant-drift
+        log increments, f = -rY, coupling aLin|u|), equal tanh hidden
+        layers, and a tile-divisible batch."""
+        from deepfbsdejsolvers_tpu.ops.pallas_rollout import (
+            TILE, merton_form_constants)
+
+        h = self.hidden
+        return (self._hoist_active() and self.hoist_interp == "piecewise"
+                and self.jump_diff and self.hoist_z and not self.hoist_gamma
+                and self._price_collocated() and self._use_gam_net_flag
+                and self.scheme == "global" and self.activation == "tanh"
+                and len(h) == 2 and h[0] == h[1]
+                and batch % TILE == 0
+                and merton_form_constants(self.model) is not None)
+
+    def _loss_global_fused(self, batch):
+        from deepfbsdejsolvers_tpu.ops.pallas_rollout import (
+            make_fused_rollout)
+
+        model, N = self.model, self.model.N
+        interpret = jax.devices()[0].platform != "tpu"
+        roll = make_fused_rollout(model, self.hidden[0],
+                                  time_scale=self.time_scale,
+                                  n_pieces=self.pw_pieces,
+                                  degree=self.pw_degree,
+                                  interpret=interpret)
+
+        def loss(params, key):
+            noise = self._prenoise(key, batch)
+            tables = self._hoist_tables(params, noise)
+            x_n, y_n = roll(params["gam"], params["uz"]["y0"],
+                            {k: tables[k] for k in
+                             ("cc", "pc", "zc", "lo", "hi")},
+                            noise[0][:N], noise[1][:N])
+            return jnp.mean(jnp.square(y_n - model.payoff(x_n)))
+
+        return loss
+
     def _loss_global_adjoint(self, batch):
         from deepfbsdejsolvers_tpu.solvers.adjoint import (
             make_global_adjoint_rollout)
@@ -810,6 +861,16 @@ class PricingSolver:
 
     def _loss_global(self, batch):
         model, N, dt = self.model, self.model.N, self.model.dt
+        if self.fused_rollout:
+            if self._fused_ok(batch):
+                return self._loss_global_fused(batch)
+            import warnings
+
+            warnings.warn(
+                "fused_rollout=True requires the fully hoisted piecewise "
+                "Merton-form global path (hoist=True, piecewise, hoist_z, "
+                "collocated price, equal tanh hidden layers, batch % 1024 "
+                "== 0); falling back to the XLA scan")
         if self.adjoint:
             if self._adjoint_ok():
                 return self._loss_global_adjoint(batch)
