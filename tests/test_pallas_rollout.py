@@ -124,3 +124,27 @@ def test_fused_trains_like_autodiff():
 
     la, lf = run(auto), run(fused)
     assert la == pytest.approx(lf, rel=1e-4), (la, lf)
+
+
+def test_fused_under_shard_map(rng_key):
+    """The fused custom VJP composes with the DP shard_map (grads through
+    psum); per-shard batch stays tile-divisible (8192 / 8 = 1024)."""
+    from deepfbsdejsolvers_tpu.parallel.data_parallel import (
+        make_dp_loss, make_mesh)
+
+    model = make_merton_default(a_lin=0.1, jump_sampler="icdf",
+                                price_mode="chebyshev")
+    model = dataclasses.replace(model, N=2)
+    solver = PricingSolver(model, "global", hidden=(8, 8), compensator=CHEB64,
+                           hoist=True, hoist_interp="piecewise",
+                           hoist_gamma=False, fused_rollout=True)
+    assert solver._fused_ok(8192 // 8)
+    params = solver.init_params(rng_key)
+    mesh = make_mesh((8,), ("data",))
+    dp_loss = make_dp_loss(solver.build_loss(8192 // 8), mesh)
+    with mesh:
+        val, grads = jax.value_and_grad(dp_loss)(params, rng_key)
+    assert np.isfinite(float(val))
+    gn = sum(float(jnp.sum(jnp.abs(g)))
+             for g in jax.tree_util.tree_leaves(grads))
+    assert np.isfinite(gn) and gn > 0
