@@ -812,7 +812,7 @@ class PricingSolver:
                 and self.jump_diff and self.hoist_z and not self.hoist_gamma
                 and self._price_collocated() and self._use_gam_net_flag
                 and self.scheme == "global" and self.activation == "tanh"
-                and len(h) == 2 and h[0] == h[1]
+                and len(h) == 2 and h[0] == h[1] and h[0] <= 128
                 and batch % TILE == 0
                 and merton_form_constants(self.model) is not None)
 
