@@ -24,7 +24,8 @@ import time
 
 
 def build(batch: int, compensator: str, parity: bool, model_name: str = "merton",
-          sweep: str = None, adjoint: bool = False, fused: bool = False):
+          sweep: str = None, adjoint: bool = False, fused: bool = False,
+          fused_precision: str = None):
     import jax
 
     from deepfbsdejsolvers_tpu.models.merton import make_merton_default
@@ -107,7 +108,7 @@ def build(batch: int, compensator: str, parity: bool, model_name: str = "merton"
             compensator=CompensatorSpec(kind=compensator,
                                         x_interp="chebyshev", n_cheb=64),
             hoist=True, hoist_interp="piecewise", adjoint=adjoint,
-            fused_rollout=fused)
+            fused_rollout=fused, fused_precision=fused_precision)
     params = solver.init_params(jax.random.key(0))
     optimizer = make_adam(4e-4)
     opt_state = optimizer.init(params)
@@ -118,13 +119,15 @@ def build(batch: int, compensator: str, parity: bool, model_name: str = "merton"
 def measure(batch: int, inner: int, rounds: int, compensator: str,
             parity: bool = False, model_name: str = "merton",
             sweep: str = None, rng: str = "threefry",
-            adjoint: bool = False, fused: bool = False) -> dict:
+            adjoint: bool = False, fused: bool = False,
+            fused_precision: str = None) -> dict:
     import jax
 
     from deepfbsdejsolvers_tpu.solvers.train import make_epoch_fn
 
     model, solver, params, optimizer, opt_state, loss_fn = build(
-        batch, compensator, parity, model_name, sweep, adjoint, fused)
+        batch, compensator, parity, model_name, sweep, adjoint, fused,
+        fused_precision)
     epoch = make_epoch_fn(loss_fn, optimizer, inner)
     # "rbg": hardware-counter PRNG — ~+10% throughput at 2^17 (threefry's
     # per-draw ALU work is a real cost in this RNG-heavy loop); kept opt-in
@@ -240,6 +243,10 @@ def main():
                         "speed config (ops/pallas_rollout.py): the entire "
                         "N-step forward and hand-adjoint backward each run "
                         "as ONE kernel over batch tiles")
+    p.add_argument("--fusedPrecision", choices=["high", "highest"],
+                   default=None,
+                   help="in-kernel matmul precision for --fused (default: "
+                        "the module default, HIGH)")
     p.add_argument("--anchor", action="store_true",
                    help="measure the CPU anchor and write bench_baseline.json")
     args = p.parse_args()
@@ -267,7 +274,7 @@ def main():
 
     res = measure(args.batch, args.inner, args.rounds, args.compensator,
                   args.parity, args.model, args.sweep, args.rng, args.adjoint,
-                  args.fused)
+                  args.fused, args.fusedPrecision)
     vs = None
     if args.model == "merton" and os.path.exists(ANCHOR_FILE):
         with open(ANCHOR_FILE) as f:

@@ -67,8 +67,12 @@ _R = 8          # sublane rows of a path tile
 # tpu.matmul computes f32 through bf16 MXU passes, which quantizes the
 # selected Chebyshev coefficients to ~4e-3 relative — the same numerics
 # class that FAILED the 3-seed accuracy gate on the XLA path (BASELINE.md
-# select-precision note).  HIGHEST = full-f32 products.
-_PREC = jax.lax.Precision.HIGHEST
+# select-precision note).  HIGH (3 bf16 passes, 24 mantissa bits) is
+# bit-exact for the one-hot selects and ~f32 for the head dots at half
+# HIGHEST's issue cost — the same policy as the XLA path's
+# SELECT_PRECISION; override via make_fused_rollout(precision=...) /
+# PricingSolver(fused_precision=...) for A/B.
+_PREC = jax.lax.Precision.HIGH
 
 
 def _clenshaw_k(c, t):
@@ -123,15 +127,15 @@ def _sum_paths(v):
                    axis=1, keepdims=True)
 
 
-def _dot_k(a, b):
+def _dot_k(a, b, prec=None):
     """Contract leading axes: (K, M...) x (K, R, L) -> (M..., R, L) with
     a 2-D; i.e. (K, M) x (K, 8, L) -> (M, 8, L)."""
     return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
-                               precision=_PREC,
+                               precision=prec or _PREC,
                                preferred_element_type=jnp.float32)
 
 
-def _dot_paths(a, b):
+def _dot_paths(a, b, prec=None):
     """Contract the path tile: (Ka, 8, L) x (Kb, 8, L) -> (Ka, Kb).
 
     Mosaic's tpu.matmul requires exactly ONE contracting dim (and batch
@@ -141,14 +145,14 @@ def _dot_paths(a, b):
     ar = a.reshape(ka, a.shape[1] * a.shape[2])
     br = b.reshape(kb, b.shape[1] * b.shape[2])
     return jax.lax.dot_general(ar, br, (((1,), (1,)), ((), ())),
-                               precision=_PREC,
+                               precision=prec or _PREC,
                                preferred_element_type=jnp.float32)
 
 
-def _select(cT_step, onehot):
+def _select(cT_step, onehot, prec=None):
     """(D, P) x (P, 8, L) -> per-path coefficient stacks (D, 8, L)."""
     return jax.lax.dot_general(cT_step, onehot, (((1,), (0,)), ((), ())),
-                               precision=_PREC,
+                               precision=prec or _PREC,
                                preferred_element_type=jnp.float32)
 
 
@@ -189,13 +193,17 @@ def merton_form_constants(model):
 
 def make_fused_rollout(model, hidden: int, time_scale: float = 1.0,
                        n_pieces: int = 8, degree: int = 7,
-                       interpret: bool = False) -> Callable:
+                       interpret: bool = False,
+                       precision: "jax.lax.Precision | None" = None
+                       ) -> Callable:
     """Build ``rollout(gam_params, y0, tables, dw, j) -> (x_N, y_N)`` with a
     fused-Pallas custom VJP (same interface and residuals as
     solvers/adjoint.make_global_adjoint_rollout)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    prec = (jax.lax.Precision(precision) if precision is not None
+            else _PREC)
     consts = merton_form_constants(model)
     if consts is None:
         raise ValueError("make_fused_rollout requires a Merton-form model "
@@ -212,8 +220,8 @@ def make_fused_rollout(model, hidden: int, time_scale: float = 1.0,
         pre1 = (w1c[:, 0:1, 0:1] * t_i + w1c[:, 1:2, 0:1] * x[None]
                 + w1c[:, 2:3, 0:1] * jr[None] + b1[:, :, None])
         h1 = jnp.tanh(pre1)
-        h2 = jnp.tanh(_dot_k(w2, h1) + b2[:, :, None])
-        gam = _dot_k(w3, h2)[0]
+        h2 = jnp.tanh(_dot_k(w2, h1, prec) + b2[:, :, None])
+        gam = _dot_k(w3, h2, prec)[0]
         return h1, h2, gam
 
     # ------------------------------------------------------------- forward
@@ -235,12 +243,12 @@ def make_fused_rollout(model, hidden: int, time_scale: float = 1.0,
             dwr = dw_ref[i][0]
             jr = j_ref[i][0]
             onehot, t, _ = _piece_onehot(x, lo_ref[i, 0], hi_ref[i, 0], p_)
-            comp = _clenshaw_k(_select(ccT_ref[i], onehot), t)
+            comp = _clenshaw_k(_select(ccT_ref[i], onehot, prec), t)
             _, _, gam = _mlp_fwd(w1c[:, :, None], b1, w2, b2, w3, i, x, jr)
             y = y * (1.0 + r * dt) + gam - comp
-            z = _clenshaw_k(_select(zcT_ref[i], onehot), t)
+            z = _clenshaw_k(_select(zcT_ref[i], onehot, prec), t)
             y = y + z * dwr
-            a = _clenshaw_k(_select(pcT_ref[i], onehot), t)
+            a = _clenshaw_k(_select(pcT_ref[i], onehot, prec), t)
             ys_ref[i] = y[None]
             e = jnp.exp(drift + sigma * dwr + jr)
             x = x * e + (a_lin * jnp.abs(y - a)) * dt
@@ -285,9 +293,10 @@ def make_fused_rollout(model, hidden: int, time_scale: float = 1.0,
             jr = j_ref[i][0]
             onehot, t, dtdx = _piece_onehot(x, lo_ref[i, 0], hi_ref[i, 0],
                                             p_)
-            _, dcd = _clenshaw_k_deriv(_select(ccT_ref[i], onehot), t)
-            a_vals, dad = _clenshaw_k_deriv(_select(pcT_ref[i], onehot), t)
-            _, dzd = _clenshaw_k_deriv(_select(zcT_ref[i], onehot), t)
+            _, dcd = _clenshaw_k_deriv(_select(ccT_ref[i], onehot, prec), t)
+            a_vals, dad = _clenshaw_k_deriv(_select(pcT_ref[i], onehot, prec),
+                                           t)
+            _, dzd = _clenshaw_k_deriv(_select(zcT_ref[i], onehot, prec), t)
             cps, aps, zps = dcd * dtdx, dad * dtdx, dzd * dtdx
             h1, h2, _ = _mlp_fwd(w1c[:, :, None], b1, w2, b2, w3, i, x, jr)
             s1 = 1.0 - h1 * h1
@@ -296,8 +305,8 @@ def make_fused_rollout(model, hidden: int, time_scale: float = 1.0,
             # (w1c[:, 1:2][..., None], NOT w1c[:, 1:2, None]: jax 0.9 lowers
             # a slice mixed with newaxis in one getitem to a gather, which
             # Mosaic cannot lower)
-            u2 = s2 * _dot_k(w2, w1c[:, 1:2][:, :, None] * s1)
-            gx = _dot_k(w3, u2)[0]
+            u2 = s2 * _dot_k(w2, w1c[:, 1:2][:, :, None] * s1, prec)
+            gx = _dot_k(w3, u2, prec)[0]
             # adjoint recurrence (solvers/adjoint.py abody; Merton forms
             # f' = -r, phi' = aLin sign(u))
             u = yrow - a_vals
@@ -310,11 +319,11 @@ def make_fused_rollout(model, hidden: int, time_scale: float = 1.0,
             yb = yb * (1.0 + r * dt)
             # ---- Γ-head parameter cotangents
             dp2 = (w3[:, :, None] * gbar[None]) * s2       # (H, 8, L)
-            dw3_ref[:] += _dot_paths(h2, gbar[None]).reshape(h, 1)
-            dw2_ref[:] += _dot_paths(h1, dp2)              # (H_a, H_o)
+            dw3_ref[:] += _dot_paths(h2, gbar[None], prec).reshape(h, 1)
+            dw2_ref[:] += _dot_paths(h1, dp2, prec)        # (H_a, H_o)
             db2_ref[:] += _sum_paths(dp2)
             dp1 = jax.lax.dot_general(
-                w2, dp2, (((1,), (0,)), ((), ())), precision=_PREC,
+                w2, dp2, (((1,), (0,)), ((), ())), precision=prec,
                 preferred_element_type=jnp.float32) * s1   # (H, 8, L)
             t_i = jnp.float32(time_scale) * i.astype(jnp.float32)
             rs1 = _sum_paths(dp1)
@@ -329,9 +338,10 @@ def make_fused_rollout(model, hidden: int, time_scale: float = 1.0,
             # ---- table cotangents: Chebyshev basis rows at t scattered to
             # pieces through the shared one-hot
             basis = _cheb_basis_k(t, d_)                   # (D, 8, L)
-            ccb_ref[i] += _dot_paths(basis * (-gbar)[None], onehot)
-            zcb_ref[i] += _dot_paths(basis * (gbar * dwr)[None], onehot)
-            pcb_ref[i] += _dot_paths(basis * (-ub)[None], onehot)
+            ccb_ref[i] += _dot_paths(basis * (-gbar)[None], onehot, prec)
+            zcb_ref[i] += _dot_paths(basis * (gbar * dwr)[None], onehot,
+                                     prec)
+            pcb_ref[i] += _dot_paths(basis * (-ub)[None], onehot, prec)
             return (xb, yb)
 
         xb, yb = jax.lax.fori_loop(0, n, body,

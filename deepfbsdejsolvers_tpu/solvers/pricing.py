@@ -187,6 +187,10 @@ class PricingSolver:
     # jump-diffusion scheme on the fully hoisted piecewise path with equal
     # tanh hidden layers and batch % 1024 == 0; falls back loudly elsewhere.
     fused_rollout: bool = False
+    # In-kernel matmul precision for the fused rollout (None = the module
+    # default, HIGH — bit-exact one-hot selects at half HIGHEST's issue
+    # cost; see ops/pallas_rollout._PREC).  "highest" for A/B.
+    fused_precision: Optional[str] = None
     # Scale applied to the raw step-index time feature before it enters the
     # nets (t = i * time_scale).  1.0 is reference parity (SolversJumpDiff.py
     # feeds the raw index).  The raw index degrades net quality at large N
@@ -826,7 +830,8 @@ class PricingSolver:
                                   time_scale=self.time_scale,
                                   n_pieces=self.pw_pieces,
                                   degree=self.pw_degree,
-                                  interpret=interpret)
+                                  interpret=interpret,
+                                  precision=self.fused_precision)
 
         def loss(params, key):
             noise = self._prenoise(key, batch)
