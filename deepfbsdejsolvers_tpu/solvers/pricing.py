@@ -818,6 +818,10 @@ class PricingSolver:
                 and self.scheme == "global" and self.activation == "tanh"
                 and len(h) == 2 and h[0] == h[1] and h[0] <= 128
                 and batch % TILE == 0
+                # four (N, TILE) f32 buffers (dw, j, xs, ys) live in VMEM
+                # per program (~16 KB/step + double-buffering headroom);
+                # N=256 keeps the kernel under ~8 MB of the ~16 MB VMEM
+                and self.model.N <= 256
                 and merton_form_constants(self.model) is not None)
 
     def _loss_global_fused(self, batch):
