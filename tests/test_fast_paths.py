@@ -123,8 +123,8 @@ def test_fast_config_trains(rng_key):
 
 
 def test_piecewise_interp_accuracy():
-    """ops/piecewise.py: the 8x7 piecewise-monomial fit matches smooth
-    functions to ~1e-4 sup over the sampled range, and grads flow."""
+    """ops/piecewise.py: the 8x7 piecewise local-Chebyshev fit matches
+    smooth functions to ~1e-4 sup over the sampled range, and grads flow."""
     from deepfbsdejsolvers_tpu.ops.piecewise import pw_interp_1d
 
     x = jnp.asarray(np.random.RandomState(0).uniform(0.3, 3.0, 4096),
@@ -134,6 +134,23 @@ def test_piecewise_interp_accuracy():
         assert float(jnp.max(jnp.abs(approx - f(x)))) < 2e-4
     g = jax.grad(lambda xx: jnp.sum(pw_interp_1d(jnp.exp, xx, 8, 7)))(x)
     assert bool(jnp.all(jnp.isfinite(g)))
+
+
+def test_piecewise_exact_at_own_nodes():
+    """fit+eval are inverse to f32 roundoff at the sample nodes — the
+    property the local Chebyshev basis buys (the monomial inverse
+    Vandermonde carried condition ~257 at degree 7, a ~3e-5 absolute f32
+    floor this assertion would catch)."""
+    from deepfbsdejsolvers_tpu.ops.piecewise import (pw_eval, pw_fit,
+                                                     pw_nodes)
+
+    lo, hi = jnp.float32(0.3), jnp.float32(3.0)
+    xn = pw_nodes(lo, hi, 8, 7)
+    vals = jnp.exp(xn)
+    coef = pw_fit(vals, 8, 7)
+    at_nodes = pw_eval(coef, xn, lo, hi)
+    assert float(jnp.max(jnp.abs(at_nodes - vals))) < 1e-5 * float(
+        jnp.max(jnp.abs(vals)))
 
 
 def test_piecewise2d_interp_accuracy():
