@@ -251,6 +251,12 @@ def main():
                    help="measure the CPU anchor and write bench_baseline.json")
     args = p.parse_args()
 
+    if args.fused and (args.parity or args.model != "merton"):
+        p.error("--fused applies only to the merton speed config "
+                "(no --parity, --model merton)")
+    if args.fusedPrecision and not args.fused:
+        p.error("--fusedPrecision requires --fused")
+
     if os.environ.get(_CHILD_ENV) != "1" and not args.anchor:
         sys.exit(_run_with_watchdog(sys.argv[1:]))
 

@@ -225,9 +225,14 @@ def make_fused_rollout(model, hidden: int, time_scale: float = 1.0,
         return h1, h2, gam
 
     # ------------------------------------------------------------- forward
-    def _fwd_kernel(dw_ref, j_ref, ccT_ref, pcT_ref, zcT_ref, lo_ref, hi_ref,
-                    w1c_ref, b1_ref, w2_ref, b2_ref, w3_ref, y0_ref,
-                    xn_ref, yn_ref, xs_ref, ys_ref):
+    # ``save`` toggles the residual (xs, ys) outputs: the primal-only call
+    # (loss evaluation outside jax.grad) skips them — at N=256 and the 2^17
+    # headline batch they are ~256 MB of dead HBM writes per eval.
+    def _make_fwd_kernel(save):
+      def _fwd_kernel(dw_ref, j_ref, ccT_ref, pcT_ref, zcT_ref, lo_ref,
+                      hi_ref, w1c_ref, b1_ref, w2_ref, b2_ref, w3_ref,
+                      y0_ref, xn_ref, yn_ref, *res_refs):
+        xs_ref, ys_ref = res_refs if save else (None, None)
         n = dw_ref.shape[0]
         w1c = w1c_ref[:]                                   # (H, 3)
         b1 = b1_ref[:]                                     # (H, 1)
@@ -239,7 +244,8 @@ def make_fused_rollout(model, hidden: int, time_scale: float = 1.0,
 
         def body(i, carry):
             x, y = carry
-            xs_ref[i] = x[None]
+            if save:
+                xs_ref[i] = x[None]
             dwr = dw_ref[i][0]
             jr = j_ref[i][0]
             onehot, t, _ = _piece_onehot(x, lo_ref[i, 0], hi_ref[i, 0], p_)
@@ -249,7 +255,8 @@ def make_fused_rollout(model, hidden: int, time_scale: float = 1.0,
             z = _clenshaw_k(_select(zcT_ref[i], onehot, prec), t)
             y = y + z * dwr
             a = _clenshaw_k(_select(pcT_ref[i], onehot, prec), t)
-            ys_ref[i] = y[None]
+            if save:
+                ys_ref[i] = y[None]
             e = jnp.exp(drift + sigma * dwr + jr)
             x = x * e + (a_lin * jnp.abs(y - a)) * dt
             return (x, y)
@@ -257,6 +264,7 @@ def make_fused_rollout(model, hidden: int, time_scale: float = 1.0,
         x, y = jax.lax.fori_loop(0, n, body, (x, y))
         xn_ref[0] = x
         yn_ref[0] = y
+      return _fwd_kernel
 
     # ------------------------------------------------------------ backward
     def _bwd_kernel(dw_ref, j_ref, ccT_ref, pcT_ref, zcT_ref, lo_ref, hi_ref,
@@ -365,7 +373,7 @@ def make_fused_rollout(model, hidden: int, time_scale: float = 1.0,
         """(N, B) -> (N, G, 8, L) view matching the per-tile path order."""
         return a.reshape(n, grid, _R, L)
 
-    def _fwd_call(gam_params, y0, tables, dw, j):
+    def _fwd_call(gam_params, y0, tables, dw, j, save=True):
         n, batch = dw.shape
         grid = batch // TILE
         w1T, b1, w2, b2, w3, ccT, pcT, zcT, lo, hi = _prep(gam_params,
@@ -377,19 +385,22 @@ def make_fused_rollout(model, hidden: int, time_scale: float = 1.0,
         out1 = pl.BlockSpec((1, _R, L), lambda t: (t, 0, 0),
                             memory_space=pltpu.VMEM)
         f32 = jax.ShapeDtypeStruct
-        xn, yn, xs, ys = pl.pallas_call(
-            _fwd_kernel,
+        res_specs = [tile, tile] if save else []
+        res_shapes = ([f32((n, grid, _R, L), jnp.float32),
+                       f32((n, grid, _R, L), jnp.float32)] if save else [])
+        outs = pl.pallas_call(
+            _make_fwd_kernel(save),
             grid=(grid,),
             in_specs=[tile, tile, vm, vm, vm, sm, sm, vm, vm, vm, vm, vm,
                       sm],
-            out_specs=[out1, out1, tile, tile],
+            out_specs=[out1, out1] + res_specs,
             out_shape=[f32((grid, _R, L), jnp.float32),
-                       f32((grid, _R, L), jnp.float32),
-                       f32((n, grid, _R, L), jnp.float32),
-                       f32((n, grid, _R, L), jnp.float32)],
+                       f32((grid, _R, L), jnp.float32)] + res_shapes,
             interpret=interpret,
         )(_tile4(dw, n, grid), _tile4(j, n, grid), ccT, pcT, zcT, lo, hi,
           w1T, b1, w2, b2, w3, jnp.reshape(y0, (1, 1)))
+        xn, yn = outs[0], outs[1]
+        xs, ys = (outs[2], outs[3]) if save else (None, None)
         return (xn.reshape(batch), yn.reshape(batch), xs, ys)
 
     def _bwd_call(gam_params, tables, dw, j, xs, ys, cxn, cyn):
@@ -442,7 +453,8 @@ def make_fused_rollout(model, hidden: int, time_scale: float = 1.0,
 
     @jax.custom_vjp
     def rollout(gam_params, y0, tables, dw, j):
-        x_n, y_n, _, _ = _fwd_call(gam_params, y0, tables, dw, j)
+        x_n, y_n, _, _ = _fwd_call(gam_params, y0, tables, dw, j,
+                                   save=False)
         return x_n, y_n
 
     def fwd(gam_params, y0, tables, dw, j):

@@ -793,6 +793,12 @@ class PricingSolver:
 
             warnings.warn(f"adjoint=True is only implemented for the global "
                           f"scheme; scheme={self.scheme!r} uses autodiff")
+        if self.fused_rollout and self.scheme != "global":
+            import warnings
+
+            warnings.warn(f"fused_rollout=True is only implemented for the "
+                          f"global scheme; scheme={self.scheme!r} uses the "
+                          f"XLA scan")
         builder = getattr(self, f"_loss_{self.scheme}")
         return builder(batch)
 
@@ -812,10 +818,8 @@ class PricingSolver:
             TILE, merton_form_constants)
 
         h = self.hidden
-        return (self._hoist_active() and self.hoist_interp == "piecewise"
-                and self.jump_diff and self.hoist_z and not self.hoist_gamma
-                and self._price_collocated() and self._use_gam_net_flag
-                and self.scheme == "global" and self.activation == "tanh"
+        return (self._adjoint_ok() and not self.hoist_gamma
+                and self.activation == "tanh"
                 and len(h) == 2 and h[0] == h[1] and h[0] <= 128
                 and batch % TILE == 0
                 # four (N, TILE) f32 buffers (dw, j, xs, ys) live in VMEM
@@ -878,8 +882,9 @@ class PricingSolver:
             warnings.warn(
                 "fused_rollout=True requires the fully hoisted piecewise "
                 "Merton-form global path (hoist=True, piecewise, hoist_z, "
-                "collocated price, equal tanh hidden layers, batch % 1024 "
-                "== 0); falling back to the XLA scan")
+                "no hoist_gamma, collocated price, equal tanh hidden "
+                "layers <= 128 wide, batch % 1024 == 0, model.N <= 256); "
+                "falling back to the XLA scan")
         if self.adjoint:
             if self._adjoint_ok():
                 return self._loss_global_adjoint(batch)
