@@ -219,6 +219,11 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["xla", "pallas"])
     p.add_argument("--rng", type=str, default="threefry",
                    choices=["threefry", "rbg"])
+    p.add_argument("--fused", action="store_true",
+                   help="fused whole-rollout Pallas kernels for the merton "
+                        "speed config (ops/pallas_rollout.py)")
+    p.add_argument("--fusedPrecision", type=str, default=None,
+                   choices=["high", "highest"])
 
     return parser
 
@@ -298,6 +303,10 @@ def _dispatch(args, verbose: bool) -> int:
             cmd.append("--parity")
         if args.sweep:
             cmd += ["--sweep", args.sweep]
+        if args.fused:
+            cmd.append("--fused")
+        if args.fusedPrecision:
+            cmd += ["--fusedPrecision", args.fusedPrecision]
         return subprocess.call(cmd)
     return 0
 
