@@ -185,7 +185,9 @@ class PricingSolver:
     # requires; the XLA-level alternatives are measured dead ends (see
     # ``adjoint`` and ``hoist_gamma``).  Applies to the Merton-form global
     # jump-diffusion scheme on the fully hoisted piecewise path with equal
-    # tanh hidden layers and batch % 1024 == 0; falls back loudly elsewhere.
+    # tanh hidden layers <= 128 wide, batch % 1024 == 0, and model.N <= 256
+    # (VMEM residency of the per-tile buffers); falls back loudly elsewhere
+    # (_fused_ok).
     fused_rollout: bool = False
     # In-kernel matmul precision for the fused rollout (None = the module
     # default, HIGH — bit-exact one-hot selects at half HIGHEST's issue
