@@ -34,8 +34,9 @@ round-trips for the carry, no per-step kernel dispatch, no scan stacking:
   dot_general middle layer, an (H, 1)-contraction output; the scalar
   output bias b3 is folded exactly into the compensator table's T_0 row
   ((gam + b3) - comp == gam - (comp - b3)), so the kernel never sees it;
-* the forward stores exactly two (N, B) residual trajectories (x_i
-  pre-step, y_{i+1} post-update) to HBM — the same residuals as the
+* under ``jax.grad`` the forward stores exactly two (N, B) residual
+  trajectories (x_i pre-step, y_{i+1} post-update) to HBM (the primal-only
+  call skips them) — the same residuals as the
   verified transposed-adjoint (solvers/adjoint.py:66-86), whose recurrence
   the backward kernel replays per tile with (8, L) adjoint carries,
   accumulating parameter/table cotangents in VMEM across the sequential

@@ -150,3 +150,12 @@ def test_fused_under_shard_map(rng_key):
     gn = sum(float(jnp.sum(jnp.abs(g)))
              for g in jax.tree_util.tree_leaves(grads))
     assert np.isfinite(gn) and gn > 0
+
+
+def test_fused_precision_knob_plumbs_through():
+    """fused_precision reaches make_fused_rollout (interpret mode computes
+    exact f32 either way, so both settings must agree with autodiff)."""
+    auto, fused_hi, params, key = _pair(fused_precision="highest")
+    la = float(jax.jit(auto)(params, key))
+    lh = float(jax.jit(fused_hi)(params, key))
+    assert la == pytest.approx(lh, rel=1e-5), (la, lh)
