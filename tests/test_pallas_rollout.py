@@ -31,7 +31,8 @@ def _pair(batch=1024, n=3, a_lin=0.1, **kw):
     model = make_merton_default(a_lin=a_lin, jump_sampler="icdf",
                                 price_mode="chebyshev")
     model = dataclasses.replace(model, N=n)
-    common = dict(hidden=(8, 8), compensator=CHEB64, hoist=True,
+    kw.setdefault("hidden", (8, 8))
+    common = dict(compensator=CHEB64, hoist=True,
                   hoist_interp="piecewise", hoist_gamma=False, **kw)
     auto = PricingSolver(model, "global", **common)
     fused = PricingSolver(model, "global", fused_rollout=True, **common)
@@ -159,3 +160,12 @@ def test_fused_precision_knob_plumbs_through():
     la = float(jax.jit(auto)(params, key))
     lh = float(jax.jit(fused_hi)(params, key))
     assert la == pytest.approx(lh, rel=1e-5), (la, lh)
+
+
+def test_fused_grads_match_at_production_width():
+    """The shipped speed config runs hidden=(21, 21) — cover the non-8
+    feature widths (odd K contractions, H > sublane count) explicitly."""
+    auto, fused, params, key = _pair(n=2, hidden=(21, 21))
+    ga = jax.jit(jax.grad(auto))(params, key)
+    gf = jax.jit(jax.grad(fused))(params, key)
+    assert _rel(ga, gf) < 3e-5, _rel(ga, gf)
