@@ -7,8 +7,9 @@ and reports |Y0 - oracle| against the model's closed-form/FFT price.
 Runs on whatever jax.devices() provides (TPU ~15 min total; CPU much longer).
 
 Usage: python scripts/convergence_gates.py [gate ...]
-Gates: merton_speed merton_speed_mc merton_direct merton_cheb merton_global
-       merton_coupled_direct merton_global_extrapolated vg_direct vg_speed
+Gates: merton_speed merton_speed_fused merton_speed_mc merton_direct
+       merton_cheb merton_global merton_coupled_direct
+       merton_global_extrapolated vg_direct vg_speed
        vg_global_extrapolated vg_half_coupling  (or: all)
 """
 
