@@ -243,10 +243,12 @@ def main():
                         "speed config (ops/pallas_rollout.py): the entire "
                         "N-step forward and hand-adjoint backward each run "
                         "as ONE kernel over batch tiles")
-    p.add_argument("--fusedPrecision", choices=["high", "highest"],
+    p.add_argument("--fusedPrecision", choices=["default", "highest"],
                    default=None,
-                   help="in-kernel matmul precision for --fused (default: "
-                        "the module default, HIGH)")
+                   help="in-kernel SELECT-dot precision for --fused "
+                        "(default: HIGHEST — exact selection; Mosaic lowers "
+                        "only DEFAULT and HIGHEST in-kernel, and DEFAULT "
+                        "selects fail the accuracy gate)")
     p.add_argument("--anchor", action="store_true",
                    help="measure the CPU anchor and write bench_baseline.json")
     args = p.parse_args()

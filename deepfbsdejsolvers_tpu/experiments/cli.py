@@ -223,7 +223,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="fused whole-rollout Pallas kernels for the merton "
                         "speed config (ops/pallas_rollout.py)")
     p.add_argument("--fusedPrecision", type=str, default=None,
-                   choices=["high", "highest"])
+                   choices=["default", "highest"])
 
     return parser
 

@@ -64,16 +64,33 @@ import jax.numpy as jnp
 TILE = 1024
 _R = 8          # sublane rows of a path tile
 
-# All in-kernel dot_generals carry an explicit precision: Mosaic's default
-# tpu.matmul computes f32 through bf16 MXU passes, which quantizes the
-# selected Chebyshev coefficients to ~4e-3 relative — the same numerics
-# class that FAILED the 3-seed accuracy gate on the XLA path (BASELINE.md
-# select-precision note).  HIGH (3 bf16 passes, 24 mantissa bits) is
-# bit-exact for the one-hot selects and ~f32 for the head dots at half
-# HIGHEST's issue cost — the same policy as the XLA path's
-# SELECT_PRECISION; override via make_fused_rollout(precision=...) /
-# PricingSolver(fused_precision=...) for A/B.
-_PREC = jax.lax.Precision.HIGH
+# All in-kernel dot_generals carry an explicit precision, SPLIT BY ROLE to
+# mirror the XLA path's measured policy (BASELINE.md select-precision note):
+#
+# * SELECT dots (one-hot piece-selects and the backward's basis-through-
+#   one-hot table cotangents) run at HIGHEST — exact selection of f32
+#   Chebyshev coefficients, where Mosaic's DEFAULT single bf16 pass would
+#   round the selected values to ~4e-3 relative (the numerics class that
+#   FAILED the 3-seed accuracy gate).  The XLA path uses HIGH (3 bf16
+#   passes — bit-exact for a one-hot contraction at half HIGHEST's issue
+#   cost), but Mosaic's in-kernel dot lowering supports ONLY DEFAULT and
+#   HIGHEST: HIGH raises "NotImplementedError: Unsupported dot precision"
+#   at compile on the real chip (measured 2026-08-18; interpret mode does
+#   not catch it).
+# * HEAD dots (the Γ-MLP forward/backward contractions) run at DEFAULT —
+#   the XLA path's in-body heads compute through single bf16 MXU passes
+#   too, and the compensator tables are deliberately built from that same
+#   quantized net so the quantization cancels in (Γ − comp)
+#   (solvers/pricing.py::_hoist_tables precision-policy note).
+#
+# The round-3 A/B (scripts/fused_ab.py, 2^17 batch) showed precision is
+# the whole fused-kernel story: XLA 4.75e8 paths·steps/s; fused all-DEFAULT
+# 4.69e8 (gate-failing selects); fused HIGHEST-selects + DEFAULT-heads
+# 4.05e8 (this default); fused all-HIGHEST 2.3-3.0e8.
+# Override via make_fused_rollout(precision=..., head_precision=...) /
+# PricingSolver(fused_precision=..., fused_head_precision=...) for A/B.
+_PREC = jax.lax.Precision.HIGHEST
+_HEAD_PREC = jax.lax.Precision.DEFAULT
 
 
 def _clenshaw_k(c, t):
@@ -195,16 +212,22 @@ def merton_form_constants(model):
 def make_fused_rollout(model, hidden: int, time_scale: float = 1.0,
                        n_pieces: int = 8, degree: int = 7,
                        interpret: bool = False,
-                       precision: "jax.lax.Precision | None" = None
+                       precision: "jax.lax.Precision | None" = None,
+                       head_precision: "jax.lax.Precision | None" = None
                        ) -> Callable:
     """Build ``rollout(gam_params, y0, tables, dw, j) -> (x_N, y_N)`` with a
     fused-Pallas custom VJP (same interface and residuals as
-    solvers/adjoint.make_global_adjoint_rollout)."""
+    solvers/adjoint.make_global_adjoint_rollout).
+
+    ``precision`` governs the select/table dots, ``head_precision`` the
+    Γ-MLP dots — see the module-level precision-policy note."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     prec = (jax.lax.Precision(precision) if precision is not None
             else _PREC)
+    hprec = (jax.lax.Precision(head_precision) if head_precision is not None
+             else _HEAD_PREC)
     consts = merton_form_constants(model)
     if consts is None:
         raise ValueError("make_fused_rollout requires a Merton-form model "
@@ -221,8 +244,8 @@ def make_fused_rollout(model, hidden: int, time_scale: float = 1.0,
         pre1 = (w1c[:, 0:1, 0:1] * t_i + w1c[:, 1:2, 0:1] * x[None]
                 + w1c[:, 2:3, 0:1] * jr[None] + b1[:, :, None])
         h1 = jnp.tanh(pre1)
-        h2 = jnp.tanh(_dot_k(w2, h1, prec) + b2[:, :, None])
-        gam = _dot_k(w3, h2, prec)[0]
+        h2 = jnp.tanh(_dot_k(w2, h1, hprec) + b2[:, :, None])
+        gam = _dot_k(w3, h2, hprec)[0]
         return h1, h2, gam
 
     # ------------------------------------------------------------- forward
@@ -314,8 +337,8 @@ def make_fused_rollout(model, hidden: int, time_scale: float = 1.0,
             # (w1c[:, 1:2][..., None], NOT w1c[:, 1:2, None]: jax 0.9 lowers
             # a slice mixed with newaxis in one getitem to a gather, which
             # Mosaic cannot lower)
-            u2 = s2 * _dot_k(w2, w1c[:, 1:2][:, :, None] * s1, prec)
-            gx = _dot_k(w3, u2, prec)[0]
+            u2 = s2 * _dot_k(w2, w1c[:, 1:2][:, :, None] * s1, hprec)
+            gx = _dot_k(w3, u2, hprec)[0]
             # adjoint recurrence (solvers/adjoint.py abody; Merton forms
             # f' = -r, phi' = aLin sign(u))
             u = yrow - a_vals
@@ -328,11 +351,11 @@ def make_fused_rollout(model, hidden: int, time_scale: float = 1.0,
             yb = yb * (1.0 + r * dt)
             # ---- Γ-head parameter cotangents
             dp2 = (w3[:, :, None] * gbar[None]) * s2       # (H, 8, L)
-            dw3_ref[:] += _dot_paths(h2, gbar[None], prec).reshape(h, 1)
-            dw2_ref[:] += _dot_paths(h1, dp2, prec)        # (H_a, H_o)
+            dw3_ref[:] += _dot_paths(h2, gbar[None], hprec).reshape(h, 1)
+            dw2_ref[:] += _dot_paths(h1, dp2, hprec)       # (H_a, H_o)
             db2_ref[:] += _sum_paths(dp2)
             dp1 = jax.lax.dot_general(
-                w2, dp2, (((1,), (0,)), ((), ())), precision=prec,
+                w2, dp2, (((1,), (0,)), ((), ())), precision=hprec,
                 preferred_element_type=jnp.float32) * s1   # (H, 8, L)
             t_i = jnp.float32(time_scale) * i.astype(jnp.float32)
             rs1 = _sum_paths(dp1)

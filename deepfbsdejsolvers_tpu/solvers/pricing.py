@@ -189,10 +189,17 @@ class PricingSolver:
     # (VMEM residency of the per-tile buffers); falls back loudly elsewhere
     # (_fused_ok).
     fused_rollout: bool = False
-    # In-kernel matmul precision for the fused rollout (None = the module
-    # default, HIGH — bit-exact one-hot selects at half HIGHEST's issue
-    # cost; see ops/pallas_rollout._PREC).  "highest" for A/B.
+    # In-kernel matmul precisions for the fused rollout, split by role
+    # (ops/pallas_rollout module precision-policy note).  ``fused_precision``
+    # governs the one-hot select / table-cotangent dots (None = HIGHEST,
+    # exact selection — Mosaic's in-kernel dot lowering supports only
+    # DEFAULT and HIGHEST; "high" compiles under interpret but raises
+    # NotImplementedError on the chip); ``fused_head_precision`` the Γ-MLP
+    # dots (None = DEFAULT — the same single-bf16-pass numerics the XLA
+    # path's in-body heads use, and the round-3 A/B's 2x throughput lever).
+    # "highest" on both for exact-numerics A/B.
     fused_precision: Optional[str] = None
+    fused_head_precision: Optional[str] = None
     # Scale applied to the raw step-index time feature before it enters the
     # nets (t = i * time_scale).  1.0 is reference parity (SolversJumpDiff.py
     # feeds the raw index).  The raw index degrades net quality at large N
@@ -841,7 +848,8 @@ class PricingSolver:
                                   n_pieces=self.pw_pieces,
                                   degree=self.pw_degree,
                                   interpret=interpret,
-                                  precision=self.fused_precision)
+                                  precision=self.fused_precision,
+                                  head_precision=self.fused_head_precision)
 
         def loss(params, key):
             noise = self._prenoise(key, batch)

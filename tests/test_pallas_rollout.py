@@ -5,10 +5,10 @@ recurrence as the verified transposed adjoint (solvers/adjoint.py).
 
 On CPU the kernels run in Pallas interpret mode (PricingSolver gates
 ``interpret`` on the platform), so the comparison here is exact-f32;
-the real-TPU Mosaic compile + the HIGH-precision in-kernel matmul
-numerics (the shipped default; HIGHEST is the --fusedPrecision A/B
-override) are exercised by the same harness on hardware (BASELINE.md
-fused-rollout note).
+the real-TPU Mosaic compile + the shipped in-kernel precision split
+(HIGHEST selects / DEFAULT Γ-head dots — Mosaic lowers only DEFAULT and
+HIGHEST; see ops/pallas_rollout precision note) are exercised by the
+same harness on hardware (BASELINE.md fused-rollout note).
 """
 
 import dataclasses
