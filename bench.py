@@ -101,13 +101,20 @@ def build(batch: int, compensator: str, parity: bool, model_name: str = "merton"
         # + Horner) instead of global degree-63 Clenshaw — profiling showed
         # the speed config was bound by the VPU issue rate of the serial
         # Clenshaw chains (scripts/profile_headline.py; 2.54e8 -> 3.96e8).
+        # scan_chunk=2: outer scan over 25 chunks of 2 unrolled steps —
+        # halves the scan-buffer double-buffer traffic the post-hoist trace
+        # attributed ~29% of device time to.  Interleaved A/B at 2^17
+        # (scripts/scan_chunk_ab.py): 5.17-5.29e8 vs 4.51-4.73e8 flat, a
+        # consistent ~+12%; chunk=5 is slightly worse, chunk>=10 regresses.
+        # Exact math: grads == flat scan at fixed params (tests).
         model = make_merton_default(jump_sampler="icdf",
                                     price_mode="chebyshev")
         solver = PricingSolver(
             model, "global",
             compensator=CompensatorSpec(kind=compensator,
                                         x_interp="chebyshev", n_cheb=64),
-            hoist=True, hoist_interp="piecewise", adjoint=adjoint,
+            hoist=True, hoist_interp="piecewise", scan_chunk=2,
+            adjoint=adjoint,
             fused_rollout=fused, fused_precision=fused_precision)
     params = solver.init_params(jax.random.key(0))
     optimizer = make_adam(4e-4)

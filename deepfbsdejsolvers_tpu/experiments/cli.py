@@ -116,7 +116,8 @@ def _pricing_common(args) -> dict:
         # the accuracy-gated speed preset (BASELINE.md): Chebyshev-collocated
         # compensator (full node rule) + icdf Poisson sampling, full f32
         fast = dict(x_interp="chebyshev", n_cheb=64, jump_sampler="icdf",
-                    price_mode="chebyshev", hoist=True, hoist_interp="piecewise")
+                    price_mode="chebyshev", hoist=True,
+                    hoist_interp="piecewise", scan_chunk=2)
     return dict(
         nb_neuron=args.nbNeuron, nb_layer=args.nbLayer,
         n_epoch_ext=args.nEpochExt, n_epoch=args.nEpoch,

@@ -239,6 +239,33 @@ def test_hoisted_loss_matches_inscan(rng_key, scheme, interp):
     assert rel < 5e-3
 
 
+@pytest.mark.parametrize("scheme", ["global", "multistep1"])
+@pytest.mark.parametrize("chunk", [2, 5, 7])
+def test_scan_chunk_matches_flat_scan(rng_key, scheme, chunk):
+    """Chunked time scan (outer scan over N/k blocks of k unrolled steps,
+    rematerialized per chunk — the shipped speed default is scan_chunk=2)
+    computes the SAME math as the flat lax.scan: same per-step xs rows, same
+    RNG stream, only the loop structure changes.  Loss and gradients must
+    match at fixed params.  chunk=7 exercises the non-divisor fallback
+    (k reduces to the largest divisor of N <= k, here 5 for N=50)."""
+    m = make_merton_default(jump_sampler="icdf", price_mode="chebyshev")
+    spec = CompensatorSpec(x_interp="chebyshev", n_cheb=64)
+    vals, grads = {}, {}
+    for tag, k in (("flat", 0), ("chunk", chunk)):
+        solver = PricingSolver(m, scheme, compensator=spec, hidden=(8, 8),
+                               hoist=True, hoist_interp="piecewise",
+                               scan_chunk=k)
+        params = solver.init_params(jax.random.key(0))
+        loss, grad = jax.value_and_grad(jax.jit(solver.build_loss(128)))(
+            params, rng_key)
+        vals[tag], grads[tag] = float(loss), grad
+    assert vals["chunk"] == pytest.approx(vals["flat"], rel=1e-6)
+    fa, _ = jax.flatten_util.ravel_pytree(grads["flat"])
+    fb, _ = jax.flatten_util.ravel_pytree(grads["chunk"])
+    rel = float(jnp.linalg.norm(fa - fb) / jnp.linalg.norm(fa))
+    assert rel < 1e-5
+
+
 def test_hoisted_mc_compensator_matches_inscan(rng_key):
     """Hoisted tables under the reference-exact MC node law: same per-step
     node draws as the in-scan chebyshev+mc branch (both consume the per-step
