@@ -49,7 +49,13 @@ def build(batch: int, compensator: str, parity: bool, model_name: str = "merton"
             # 10.8 -> 63.8 Mpps).  Converges to ~1.3e-3 of the FFT price at
             # the standard gate budget — within the run-to-run training noise
             # of the fully-direct config (BASELINE.md).
-            model = dataclasses.replace(model, price_eval="chebyshev")
+            # jump_sampler="icdf": the round-3 VG trace put ~80% of device
+            # time in jax.random.gamma's rejection while-loop; the fixed-
+            # shape subordinator quantile is a host-precomputed piecewise
+            # table indexed by a normal draw instead (law-exact to the
+            # table fit, ~1.6e-5 sup in f32 — models/variance_gamma.py).
+            model = dataclasses.replace(model, price_eval="chebyshev",
+                                        jump_sampler="icdf")
             solver = PricingSolver(
                 model, "global",
                 compensator=CompensatorSpec(kind=compensator,

@@ -40,9 +40,13 @@ def build_model(config):
                                price_mode=config.price_mode)
     if isinstance(config, VGConfig):
         # VG keeps direct price evaluation ("chebyshev" price_mode maps to
-        # its price_eval knob; the near-expiry kink caveat is in the model)
+        # its price_eval knob; the near-expiry kink caveat is in the model).
+        # jump_sampler="icdf" (the --fast preset) swaps the gamma rejection
+        # sampler for the precomputed subordinator-quantile table — the
+        # round-3 4.2x VG win (BASELINE.md VG profile note).
         return VGModel(T=1.0, N=30, r=0.1, theta=-0.1, kappa=0.1, sigJ=0.2,
                        K=1.0, x0=1.0, coupling=coupling, pricer=config.pricer,
+                       jump_sampler=config.jump_sampler,
                        price_eval="chebyshev" if config.price_mode == "chebyshev"
                        else "direct")
     raise TypeError(f"unknown pricing config type {type(config).__name__}")

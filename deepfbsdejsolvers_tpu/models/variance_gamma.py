@@ -67,8 +67,28 @@ class VGModel:
     # Measured within training noise of the full range on the VG gate —
     # kept available for heavier-tailed parameterizations.
     cheb_robust_sigmas: float | None = None
+    # "exact": jax.random.gamma for the subordinator — Marsaglia-Tsang
+    # rejection, whose while-loop was measured to be ~80% of the VG speed
+    # config's device time (round-3 trace).  "icdf": the subordinator's
+    # shape is FIXED (dt/kappa), so its quantile function is precomputed on
+    # host (scipy) as a piecewise-Chebyshev table indexed by a NORMAL draw,
+    # G = kappa*F^{-1}(Phi(z)) — one normal + one gather-free pw_eval per
+    # draw, no rejection loop.  Law-exact to the fit error (measured, see
+    # tests/test_fast_paths.py): sup|table err| 2.4e-7 in f64 at the default
+    # (16 pieces, degree 7, |z|<=5.5); f32 evaluation adds rounding to
+    # ~1.6e-5 absolute (~1e-5 of the quantile's range).  Clipped tail mass
+    # 2*Phi(-5.5) = 3.8e-8; the right-tail clamp loses ~2e-9 of E[G]
+    # (~6e-8 relative).  Same class as the Merton icdf Poisson sampler
+    # (models/merton.py).
+    jump_sampler: str = "exact"
+    icdf_pieces: int = 16
+    icdf_degree: int = 7
+    icdf_zmax: float = 5.5
 
     def __post_init__(self):
+        if self.jump_sampler not in ("exact", "icdf"):
+            raise ValueError(
+                f"jump_sampler must be 'exact' or 'icdf', got {self.jump_sampler!r}")
         if self.pricer not in ("fft", "invfourier"):
             raise ValueError(f"pricer must be 'fft' or 'invfourier', got {self.pricer!r}")
         if self.price_eval not in ("direct", "chebyshev"):
@@ -91,6 +111,30 @@ class VGModel:
             object.__setattr__(self, "_q2_table", jnp.asarray(q2, jnp.float32))
             object.__setattr__(self, "_k0", float(k0))
             object.__setattr__(self, "_dk", float(dk))
+        if self.jump_sampler == "icdf":
+            object.__setattr__(self, "_g_coef",
+                               jnp.asarray(self._build_gamma_icdf_table(),
+                                           jnp.float32))
+
+    def _build_gamma_icdf_table(self) -> np.ndarray:
+        """(P, D+1) piecewise-Chebyshev coefficients of z -> kappa *
+        GammaQuantile_{dt/kappa}(Phi(z)) on [-icdf_zmax, icdf_zmax],
+        fit on host in float64 (scipy ppf at the pw_nodes grid)."""
+        from scipy.special import ndtr
+        from scipy.stats import gamma as _sp_gamma
+
+        from deepfbsdejsolvers_tpu.ops.piecewise import (_pw_cheb_fit,
+                                                         _pw_tables)
+
+        p, deg = self.icdf_pieces, self.icdf_degree
+        t_glob, _ = _pw_tables(p, deg)                       # (P*(D+1),) in [0, 1]
+        # float64 throughout: in f32, ndtr saturates to exactly 1.0 inside
+        # |z| <= 5.5 and the quantile blows up to inf
+        z = -self.icdf_zmax + 2.0 * self.icdf_zmax * np.asarray(t_glob,
+                                                                np.float64)
+        g = _sp_gamma.ppf(ndtr(z), self._dt / self.kappa) * self.kappa
+        fit = np.asarray(_pw_cheb_fit(deg), np.float64)      # (D+1, D+1)
+        return g.reshape(p, deg + 1) @ fit.T                 # (P, D+1)
 
     # ---- characteristic function --------------------------------------------
     def _phi_np(self, i_step: int, u: np.ndarray) -> np.ndarray:
@@ -144,9 +188,20 @@ class VGModel:
         """VG increment over one dt (pricingModels.py:188-191):
         J = θG + σJ√G·Z, G ~ Gamma(dt/κ, scale=κ)."""
         k_g, k_z = jax.random.split(key)
-        g = jax.random.gamma(k_g, self._dt / self.kappa, shape,
-                             dtype=jnp.float32) * self.kappa
         z = jax.random.normal(k_z, shape, jnp.float32)
+        if self.jump_sampler == "icdf":
+            from deepfbsdejsolvers_tpu.ops.piecewise import pw_eval
+
+            zg = jax.random.normal(k_g, shape, jnp.float32)
+            flat = pw_eval(self._g_coef, zg.reshape(-1),
+                           jnp.float32(-self.icdf_zmax),
+                           jnp.float32(self.icdf_zmax))
+            # the fit can wiggle ~1e-9 below zero on the flat left region;
+            # sqrt demands g >= 0
+            g = jnp.maximum(flat.reshape(shape), 0.0)
+        else:
+            g = jax.random.gamma(k_g, self._dt / self.kappa, shape,
+                                 dtype=jnp.float32) * self.kappa
         return self.theta * g + self.sigJ * jnp.sqrt(g) * z
 
     def step(self, i: jax.Array, x: jax.Array, jump: jax.Array,
@@ -237,9 +292,11 @@ class VGModel:
         return jnp.asarray(nodes), jnp.asarray(weights)
 
 
-def make_vg_default(a_lin: float = 0.1, pricer: str = "fft") -> VGModel:
+def make_vg_default(a_lin: float = 0.1, pricer: str = "fft",
+                    jump_sampler: str = "exact") -> VGModel:
     """The mainVG.py:54 default configuration."""
     from deepfbsdejsolvers_tpu.models.merton import abs_coupling
 
     return VGModel(T=1.0, N=30, r=0.1, theta=-0.1, kappa=0.1, sigJ=0.2, K=1.0,
-                   x0=1.0, coupling=abs_coupling(a_lin), pricer=pricer)
+                   x0=1.0, coupling=abs_coupling(a_lin), pricer=pricer,
+                   jump_sampler=jump_sampler)

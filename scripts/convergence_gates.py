@@ -232,9 +232,14 @@ def main():
         "vg_direct": lambda: run_gate(
             "vg_direct", vg, vg_oracle, "global",
             compensator=CompensatorSpec(n_hermite=5, n_laguerre=8)),
+        # The shipped bench.py --model vg config: collocated price_eval +
+        # the iCDF subordinator sampler (the gamma rejection loop was ~77%
+        # of VG device time; icdf is law-exact to the table fit — see
+        # models/variance_gamma.py and tests/test_fast_paths.py).
         "vg_speed": lambda: run_gate(
             "vg_speed",
-            dataclasses.replace(vg, price_eval="chebyshev"),
+            dataclasses.replace(vg, price_eval="chebyshev",
+                                jump_sampler="icdf"),
             vg_oracle, "global", **speed_kw),
     }
     gates = args.gates if args.gates != ["all"] else list(registry)

@@ -34,14 +34,15 @@ PEAK_BF16_FLOPS = 1.97e14
 PEAK_HBM_BPS = 8.1e11
 
 
-def build_epoch(batch, inner, mode="speed"):
+def build_epoch(batch, inner, mode="speed", model_name="merton"):
     import jax
 
     from bench import build
     from deepfbsdejsolvers_tpu.solvers.train import make_epoch_fn
 
     model, solver, params, optimizer, opt_state, loss_fn = build(
-        batch, "quadrature", parity=(mode == "parity"))
+        batch, "quadrature", parity=(mode == "parity"),
+        model_name=model_name)
     epoch = make_epoch_fn(loss_fn, optimizer, inner)
     key = jax.random.key(1)
     return model, solver, params, optimizer, opt_state, loss_fn, epoch, key
@@ -64,11 +65,11 @@ def timed(epoch, params, opt_state, key, rounds=3, warmup=2):
     return sorted(ts)[len(ts) // 2]
 
 
-def run_cost(batch, inner, mode):
+def run_cost(batch, inner, mode, model_name="merton"):
     import jax
 
     model, solver, params, optimizer, opt_state, loss_fn, epoch, key = \
-        build_epoch(batch, inner, mode)
+        build_epoch(batch, inner, mode, model_name)
     lowered = jax.jit(epoch).lower(params, opt_state, key)
     compiled = lowered.compile()
     ca = compiled.cost_analysis()
@@ -98,11 +99,11 @@ def run_cost(batch, inner, mode):
     return out
 
 
-def run_trace(batch, inner, mode, trace_dir, top=40):
+def run_trace(batch, inner, mode, trace_dir, top=40, model_name="merton"):
     import jax
 
     model, solver, params, optimizer, opt_state, loss_fn, epoch, key = \
-        build_epoch(batch, inner, mode)
+        build_epoch(batch, inner, mode, model_name)
     # warm up fully so the trace holds steady-state epochs only
     for w in range(2):
         params, opt_state, loss = epoch(params, opt_state,
@@ -213,6 +214,10 @@ def main():
     p.add_argument("--batch", type=int, default=2**17)
     p.add_argument("--inner", type=int, default=10)
     p.add_argument("--mode", choices=["speed", "parity"], default="speed")
+    p.add_argument("--model", choices=["merton", "vg", "mfg"],
+                   default="merton",
+                   help="workload to profile (--cost/--trace; --ablate is "
+                        "merton-only)")
     p.add_argument("--cost", action="store_true")
     p.add_argument("--ablate", action="store_true")
     p.add_argument("--trace", type=str, default=None)
@@ -225,10 +230,13 @@ def main():
         summarize_trace(args.summarize, args.top)
         return
     if args.cost:
-        run_cost(args.batch, args.inner, args.mode)
+        run_cost(args.batch, args.inner, args.mode, args.model)
     if args.trace:
-        run_trace(args.batch, args.inner, args.mode, args.trace, args.top)
+        run_trace(args.batch, args.inner, args.mode, args.trace, args.top,
+                  args.model)
     if args.ablate:
+        if args.model != "merton":
+            p.error("--ablate supports only --model merton")
         run_ablate(args.batch, args.inner)
 
 

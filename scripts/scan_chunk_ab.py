@@ -18,16 +18,27 @@ import time
 import jax
 
 
-def measure_one(batch, inner, chunk):
-    from deepfbsdejsolvers_tpu.models.merton import make_merton_default
+def measure_one(batch, inner, chunk, model_name="merton",
+                compensator="quadrature"):
     from deepfbsdejsolvers_tpu.ops.compensator import CompensatorSpec
     from deepfbsdejsolvers_tpu.solvers.pricing import PricingSolver
     from deepfbsdejsolvers_tpu.solvers.train import make_adam, make_epoch_fn
 
-    model = make_merton_default(jump_sampler="icdf", price_mode="chebyshev")
+    if model_name == "vg":
+        import dataclasses
+
+        from deepfbsdejsolvers_tpu.models.variance_gamma import make_vg_default
+
+        model = dataclasses.replace(make_vg_default(jump_sampler="icdf"),
+                                    price_eval="chebyshev")
+    else:
+        from deepfbsdejsolvers_tpu.models.merton import make_merton_default
+
+        model = make_merton_default(jump_sampler="icdf",
+                                    price_mode="chebyshev")
     solver = PricingSolver(
         model, "global",
-        compensator=CompensatorSpec(kind="quadrature",
+        compensator=CompensatorSpec(kind=compensator,
                                     x_interp="chebyshev", n_cheb=64),
         hoist=True, hoist_interp="piecewise", scan_chunk=chunk)
     params = solver.init_params(jax.random.key(0))
@@ -56,11 +67,15 @@ def main():
     p.add_argument("--batch", type=int, default=2**17)
     p.add_argument("--inner", type=int, default=10)
     p.add_argument("--chunks", type=str, default="0,2,5,10,25")
+    p.add_argument("--model", choices=["merton", "vg"], default="merton")
+    p.add_argument("--compensator", choices=["quadrature", "mc"],
+                   default="quadrature")
     args = p.parse_args()
 
     for chunk in map(int, args.chunks.split(",")):
         try:
-            tput, times, loss = measure_one(args.batch, args.inner, chunk)
+            tput, times, loss = measure_one(args.batch, args.inner, chunk,
+                                            args.model, args.compensator)
             print(f"chunk={chunk:<3d} {tput:.3e}  "
                   f"med={sorted(times)[len(times)//2]*1e3:.1f}ms  "
                   f"loss={loss:.6f}", flush=True)

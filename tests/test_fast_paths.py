@@ -61,6 +61,73 @@ def test_vg_cheb_price_eval_matches_direct():
         assert np.max(np.abs(a - b)) < tol, i
 
 
+def test_vg_icdf_gamma_sampler_matches_law(rng_key):
+    """The iCDF subordinator sampler (G = kappa*GammaQuantile(Phi(z)) via a
+    host-precomputed piecewise-Chebyshev table) draws the same VG increment
+    law as jax.random.gamma's rejection sampler: two-sample KS cannot tell
+    them apart at 2e5 samples, and the first three moments agree."""
+    from scipy import stats
+
+    from deepfbsdejsolvers_tpu.models.variance_gamma import make_vg_default
+
+    n = 200_000
+    j_icdf = np.asarray(make_vg_default(jump_sampler="icdf").sample_jumps(
+        rng_key, (n,)))
+    j_exact = np.asarray(make_vg_default().sample_jumps(rng_key, (n,)))
+    assert j_icdf.mean() == pytest.approx(j_exact.mean(), abs=4e-4)
+    assert j_icdf.std() == pytest.approx(j_exact.std(), rel=2e-2)
+    assert stats.skew(j_icdf) == pytest.approx(stats.skew(j_exact), abs=0.15)
+    assert stats.ks_2samp(j_icdf, j_exact).pvalue > 1e-3
+
+
+def test_vg_icdf_gamma_table_fit_error():
+    """The (16, 7) quantile table matches scipy's gamma ppf to ~1.6e-5 sup
+    in f32 over |z| <= 5.4 (f64 fit error 2.4e-7; the rest is pw_eval's f32
+    rounding), and the sampler's negativity clamp only ever absorbs
+    O(1e-9)-deep fit wiggle."""
+    from scipy.special import ndtr
+    from scipy.stats import gamma as sp_gamma
+
+    from deepfbsdejsolvers_tpu.models.variance_gamma import make_vg_default
+    from deepfbsdejsolvers_tpu.ops.piecewise import pw_eval
+
+    m = make_vg_default(jump_sampler="icdf")
+    z = np.linspace(-5.4, 5.4, 20001)
+    g_fit = np.asarray(pw_eval(m._g_coef, jnp.asarray(z, jnp.float32),
+                               jnp.float32(-m.icdf_zmax),
+                               jnp.float32(m.icdf_zmax)))
+    g_true = sp_gamma.ppf(ndtr(z), m._dt / m.kappa) * m.kappa
+    assert np.abs(g_fit - g_true).max() < 5e-5
+    assert g_fit.min() > -1e-6  # pre-clamp wiggle stays negligible
+
+
+def test_vg_icdf_speed_config_trains(rng_key):
+    """End-to-end: the VG speed stack with the iCDF subordinator sampler
+    (bench.py --model vg) reduces the loss from init."""
+    import dataclasses
+
+    from deepfbsdejsolvers_tpu.models.variance_gamma import make_vg_default
+    from deepfbsdejsolvers_tpu.solvers.train import fit
+
+    m = dataclasses.replace(make_vg_default(jump_sampler="icdf"),
+                            price_eval="chebyshev")
+    solver = PricingSolver(
+        m, "global",
+        compensator=CompensatorSpec(kind="quadrature", x_interp="chebyshev",
+                                    n_cheb=64),
+        hoist=True, hoist_interp="piecewise")
+    params = solver.init_params(jax.random.key(0))
+    loss_eval = jax.jit(solver.build_loss(2048))
+    k_fixed = jax.random.key(9)
+    before = float(loss_eval(params, k_fixed))
+    res = fit(loss_fn=solver.build_loss(256), params=params,
+              key=rng_key, lrate=5e-3, num_epoch=30, num_epoch_ext=2,
+              y0_fn=solver.y0_estimate, verbose=False)
+    after = float(loss_eval(res.params, k_fixed))
+    assert after < before
+    assert np.isfinite(res.y0_history[-1])
+
+
 def test_table_pricer_differentiable():
     m = make_merton_default(price_mode="table")
     g = jax.grad(lambda x: m.price(jnp.asarray(5), x[None])[0])(jnp.float32(1.0))
