@@ -54,13 +54,19 @@ def build(batch: int, compensator: str, parity: bool, model_name: str = "merton"
             # shape subordinator quantile is a host-precomputed piecewise
             # table indexed by a normal draw instead (law-exact to the
             # table fit, ~1.6e-5 sup in f32 — models/variance_gamma.py).
+            # scan_chunk=2: before the icdf sampler the VG scan was
+            # sampler-bound and chunking was noise (+1%); with the sampler
+            # out of the way the scan-buffer traffic dominates again and
+            # chunking pays as it does for Merton — interleaved A/B
+            # (scripts/scan_chunk_ab.py --model vg): 3.9-4.1e8 vs
+            # 3.5-3.7e8 flat (+8-19% across sessions).
             model = dataclasses.replace(model, price_eval="chebyshev",
                                         jump_sampler="icdf")
             solver = PricingSolver(
                 model, "global",
                 compensator=CompensatorSpec(kind=compensator,
                                             x_interp="chebyshev", n_cheb=64),
-                hoist=True, hoist_interp="piecewise")
+                hoist=True, hoist_interp="piecewise", scan_chunk=2)
     elif model_name == "mfg":
         import dataclasses
 

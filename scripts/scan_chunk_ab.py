@@ -9,11 +9,15 @@ fully-unrolled steps (static xs indexing, chunk-boundary remat) — this
 script measures whether that converts the buffer traffic into throughput.
 
 Usage:
-  PYTHONPATH=. python scripts/scan_chunk_ab.py [--batch 131072] \
-      [--chunks 0,2,5,10,25] [--inner 10]
+  python scripts/scan_chunk_ab.py [--batch 131072] \
+      [--chunks 0,2,5,10,25] [--inner 10] [--model merton|vg]
 """
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
