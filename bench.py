@@ -78,7 +78,12 @@ def build(batch: int, compensator: str, parity: bool, model_name: str = "merton"
             # per-path Cox rates make jax.random.poisson's rejection loop the
             # bottleneck (3x at 2^13, 11x at 2^17 with large batch)
             mfg_model = dataclasses.replace(mfg_model, jump_sampler="icdf")
-        mfg = MFGSolver(mfg_model, "global")
+        # scan_chunk=16: interleaved A/B (scripts/scan_chunk_ab.py --model
+        # mfg) reads 4.10-4.16e8 vs 3.84e8 flat (+7-8%); the N=96 MFG scan
+        # tolerates much larger chunks than the Merton/VG N=50/30 scans
+        # (2-4 are neutral here, 8-16 pay, >=24 regresses).
+        mfg = MFGSolver(mfg_model, "global",
+                        scan_chunk=0 if parity else 16)
         params = mfg.init_params(jax.random.key(0))
         optimizer = make_adam(1e-3)
         losses = mfg.build_losses(batch)

@@ -63,6 +63,11 @@ class MFGSolver:
     remat: bool = True
     # bfloat16 matmuls for the two heads (f32 params/carries) — TPU speed path
     compute_dtype: str | None = None
+    # Chunk the time scan (ops/scan.py): outer scan over N/k chunks of k
+    # fully-unrolled steps, rematerialized per chunk.  Same math as the flat
+    # scan (same xs rows, same RNG stream); measured +% on the N=96 MFG
+    # train step — see the BASELINE.md scan-chunk note.  0 = flat.
+    scan_chunk: int = 0
 
     def __post_init__(self):
         if self.scheme not in MFG_SCHEMES:
@@ -137,6 +142,13 @@ class MFGSolver:
     def _maybe_remat(self, body):
         return jax.checkpoint(body) if self.remat else body
 
+    def _scan(self, body, carry, xs, length):
+        """Training-loss time scan, chunked when ``scan_chunk`` is set."""
+        from ..ops.scan import chunked_scan
+
+        return chunked_scan(body, carry, xs, length, self.scan_chunk,
+                            remat=self.remat)
+
     # ------------------------------------------------------------- rollouts
     def build_pair_loss(self, batch: int) -> Callable:
         """Returns loss(params, key) -> (loss_hat, loss_full)."""
@@ -178,9 +190,8 @@ class MFGSolver:
                 state = model.step(state, dw0, dw, dn, h_y, y)
                 return (state, h_y_next, y_next), None
 
-            (state, h_y, y), _ = jax.lax.scan(
-                self._maybe_remat(body), (state, h_y, y),
-                (jnp.arange(N),) + noise)
+            (state, h_y, y), _ = self._scan(
+                body, (state, h_y, y), (jnp.arange(N),) + noise, N)
             loss_hat = jnp.mean(jnp.square(h_y - model.g(state.hS)))
             loss_full = jnp.mean(jnp.square(y - model.g(state.S)))
             return loss_hat, loss_full
@@ -211,8 +222,8 @@ class MFGSolver:
                 state = model.step(state, dw0, dw, dn, h_y, y)
                 return state, (h_y, y, to_add_hat, to_add)
 
-            state, (h_ys, ys, adds_hat, adds) = jax.lax.scan(
-                self._maybe_remat(body), state, (jnp.arange(N),) + noise)
+            state, (h_ys, ys, adds_hat, adds) = self._scan(
+                body, state, (jnp.arange(N),) + noise, N)
             yf_hat = model.g(state.hS)
             yf = model.g(state.S)
             fwd_hat = h_ys + _suffix_sum(adds_hat)
@@ -271,9 +282,8 @@ class MFGSolver:
                 f_out_n = f_out_n.at[..., 0].set(y_next)
                 return (state, h_out_n, f_out_n), (err_hat, err)
 
-            _, (errs_hat, errs) = jax.lax.scan(
-                self._maybe_remat(body), (state, h_out, f_out),
-                (jnp.arange(N),) + noise)
+            _, (errs_hat, errs) = self._scan(
+                body, (state, h_out, f_out), (jnp.arange(N),) + noise, N)
             return jnp.sum(errs_hat), jnp.sum(errs)
 
         return pair

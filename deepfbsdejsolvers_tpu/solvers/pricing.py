@@ -744,30 +744,14 @@ class PricingSolver:
         return None
 
     def _scan(self, body, carry, xs, length):
-        """Time scan with optional chunking: outer scan over chunks of
-        ``scan_chunk`` fully-unrolled steps, rematerialized per chunk.  The
-        unrolled inner steps index their xs rows statically — no per-step
-        dynamic_slice/dynamic_update_slice on the big (N, B) buffers, and
-        XLA fuses the elementwise chain across steps."""
-        k = self.scan_chunk
-        if k and 1 < k < length:
-            while length % k:
-                k -= 1
-        if not k or k <= 1 or k >= length:
-            return jax.lax.scan(self._maybe_remat(body), carry, xs)
-        nch = length // k
-        xs_r = jax.tree.map(lambda a: a.reshape((nch, k) + a.shape[1:]), xs)
+        """Time scan with optional chunking (ops/scan.py): outer scan over
+        chunks of ``scan_chunk`` fully-unrolled steps, rematerialized per
+        chunk with the save-only-heads policy."""
+        from ..ops.scan import chunked_scan
 
-        def chunk(c, xc):
-            return jax.lax.scan(body, c, xc, unroll=True)
-
-        if self.remat:
-            policy = jax.checkpoint_policies.save_only_these_names(
-                "gam", "comp")
-            chunk = jax.checkpoint(chunk, policy=policy)
-        carry, ys = jax.lax.scan(chunk, carry, xs_r)
-        ys = jax.tree.map(lambda a: a.reshape((length,) + a.shape[2:]), ys)
-        return carry, ys
+        policy = jax.checkpoint_policies.save_only_these_names("gam", "comp")
+        return chunked_scan(body, carry, xs, length, self.scan_chunk,
+                            remat=self.remat, policy=policy)
 
     @staticmethod
     def _name_heads(gam, comp):

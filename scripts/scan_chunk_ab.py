@@ -28,6 +28,33 @@ def measure_one(batch, inner, chunk, model_name="merton",
     from deepfbsdejsolvers_tpu.solvers.pricing import PricingSolver
     from deepfbsdejsolvers_tpu.solvers.train import make_adam, make_epoch_fn
 
+    if model_name == "mfg":
+        import dataclasses
+
+        from deepfbsdejsolvers_tpu.models.mfg_smart_grid import make_mfg_default
+        from deepfbsdejsolvers_tpu.solvers.mfg import MFGSolver
+
+        model = dataclasses.replace(make_mfg_default(), jump_sampler="icdf")
+        solver = MFGSolver(model, "global", scan_chunk=chunk)
+        params = solver.init_params(jax.random.key(0))
+        optimizer = make_adam(1e-3)
+        opt_state = optimizer.init(params)
+        loss_fn = solver.build_losses(batch)["coupled"]
+        epoch = make_epoch_fn(loss_fn, optimizer, inner)
+        key = jax.random.key(1)
+        for w in range(2):
+            params, opt_state, loss = epoch(params, opt_state,
+                                            jax.random.fold_in(key, 1000 + w))
+            jax.block_until_ready(loss)
+        times = []
+        for r in range(5):
+            t0 = time.perf_counter()
+            params, opt_state, loss = epoch(params, opt_state,
+                                            jax.random.fold_in(key, r))
+            jax.block_until_ready(loss)
+            times.append(time.perf_counter() - t0)
+        med = sorted(times)[len(times) // 2]
+        return batch * model.N * inner / med, times, float(loss)
     if model_name == "vg":
         import dataclasses
 
@@ -71,7 +98,8 @@ def main():
     p.add_argument("--batch", type=int, default=2**17)
     p.add_argument("--inner", type=int, default=10)
     p.add_argument("--chunks", type=str, default="0,2,5,10,25")
-    p.add_argument("--model", choices=["merton", "vg"], default="merton")
+    p.add_argument("--model", choices=["merton", "vg", "mfg"],
+                   default="merton")
     p.add_argument("--compensator", choices=["quadrature", "mc"],
                    default="quadrature")
     args = p.parse_args()

@@ -333,6 +333,35 @@ def test_scan_chunk_matches_flat_scan(rng_key, scheme, chunk):
     assert rel < 1e-5
 
 
+@pytest.mark.parametrize("scheme", ["global", "sumlocal"])
+@pytest.mark.parametrize("chunk", [2, 16])
+def test_mfg_scan_chunk_matches_flat_scan(rng_key, scheme, chunk):
+    """MFG twin of the scan-chunk equality test: the chunked MFG training
+    scan (shipped speed default scan_chunk=16 for the N=96 system — bench.py
+    --model mfg) computes the same math as the flat scan at fixed params.
+    Exact on CPU; on TPU only XLA's cross-step fusion reassociation differs
+    (observed ~1e-7 rel on the loss)."""
+    import dataclasses
+
+    from deepfbsdejsolvers_tpu.models.mfg_smart_grid import make_mfg_default
+    from deepfbsdejsolvers_tpu.solvers.mfg import MFGSolver
+
+    m = dataclasses.replace(make_mfg_default(), jump_sampler="icdf")
+    vals, grads = {}, {}
+    for tag, k in (("flat", 0), ("chunk", chunk)):
+        solver = MFGSolver(m, scheme, hidden_hat=(8, 8), hidden=(8, 8),
+                           scan_chunk=k)
+        params = solver.init_params(jax.random.key(0))
+        loss, grad = jax.value_and_grad(
+            jax.jit(solver.build_losses(128)["coupled"]))(params, rng_key)
+        vals[tag], grads[tag] = float(loss), grad
+    assert vals["chunk"] == pytest.approx(vals["flat"], rel=1e-6)
+    fa, _ = jax.flatten_util.ravel_pytree(grads["flat"])
+    fb, _ = jax.flatten_util.ravel_pytree(grads["chunk"])
+    rel = float(jnp.linalg.norm(fa - fb) / jnp.linalg.norm(fa))
+    assert rel < 1e-5
+
+
 def test_hoisted_mc_compensator_matches_inscan(rng_key):
     """Hoisted tables under the reference-exact MC node law: same per-step
     node draws as the in-scan chebyshev+mc branch (both consume the per-step
