@@ -68,6 +68,15 @@ class MFGSolver:
     # scan (same xs rows, same RNG stream); measured +% on the N=96 MFG
     # train step — see the BASELINE.md scan-chunk note.  0 = flat.
     scan_chunk: int = 0
+    # Evaluate both per-step heads through ONE block-diagonal MLP chain
+    # (see _make_pair) — halves the per-step dot count; same math (loss
+    # bit-exact, grads ~8e-8 rel).  MEASURED SLOWER on TPU (-3% flat scan,
+    # -6% under scan_chunk=16 at 2^17 — BASELINE.md MFG profile note): the
+    # per-step thin dots are already at their streaming floor and the wider
+    # fused dot's padded backward costs more than the halved count saves.
+    # Kept as a tested opt-in instrument, consistent with the adjoint /
+    # hoist_gamma / fused_rollout negative-result series.
+    fuse_heads: bool = False
 
     def __post_init__(self):
         if self.scheme not in MFG_SCHEMES:
@@ -110,6 +119,60 @@ class MFGSolver:
     def _full(self, params, state: MFGState) -> jax.Array:
         return mlp_apply(params["full"], self.model.all_features(state),
                          self._act, compute_dtype=self._compute_dtype)
+
+    def _can_fuse_heads(self) -> bool:
+        """Block-diagonal head fusion requires matching depth + activation."""
+        return (self.fuse_heads
+                and self.activation_hat == self.activation
+                and len(self.hidden_hat) == len(self.hidden))
+
+    def _fused_weights(self, params):
+        """Per-layer block-diag(W_hat, W_full) + concatenated biases.
+
+        Built once per loss call, OUTSIDE the scan (step-independent).  On
+        the MXU both heads' matmuls are K-padded to 128 anyway, so the merged
+        (K_hat+K_full ≤ 128)-wide chain costs ONE issue-floor dot per layer
+        where the split heads cost two — the per-step dot count halves.  The
+        math is bit-identical on TPU: the off-diagonal zero blocks contribute
+        exact-zero products in the same accumulator positions the K-padding
+        zeros otherwise occupy."""
+        Ws, bs = [], []
+        for Wh, bh, Wf, bf in zip(params["hat"]["W"], params["hat"]["b"],
+                                  params["full"]["W"], params["full"]["b"]):
+            W = jnp.zeros((Wh.shape[0] + Wf.shape[0],
+                           Wh.shape[1] + Wf.shape[1]), Wh.dtype)
+            W = W.at[:Wh.shape[0], :Wh.shape[1]].set(Wh)
+            W = W.at[Wh.shape[0]:, Wh.shape[1]:].set(Wf)
+            Ws.append(W)
+            bs.append(jnp.concatenate([bh, bf], -1))
+        return {"W": Ws, "b": bs}
+
+    def _pair_features(self, state: MFGState) -> jax.Array:
+        """(t,hQ,hS,R | t,Q,S,hQ,hS,R) in one stack — both heads' inputs."""
+        t = jnp.full_like(state.hQ, state.i.astype(jnp.float32) * self.model._dt)
+        return jnp.stack([t, state.hQ, state.hS, state.R,
+                          t, state.Q, state.S, state.hQ, state.hS, state.R], -1)
+
+    def _make_pair(self, params):
+        """Returns pair_heads(state) -> (h_out, f_out).
+
+        Fused path (default): one block-diagonal MLP chain evaluates both
+        heads per step — the MFG trace put the split heads' thin dot_generals
+        at 33% of device time (BASELINE.md MFG profile note).  Falls back to
+        the two separate ``mlp_apply`` calls when depths/activations differ.
+        """
+        if not self._can_fuse_heads():
+            return lambda state: (self._hat(params, state),
+                                  self._full(params, state))
+        fused = self._fused_weights(params)
+        d_hat = self.head_dims()[0]
+
+        def pair_heads(state):
+            out = mlp_apply(fused, self._pair_features(state), self._act,
+                            compute_dtype=self._compute_dtype)
+            return out[..., :d_hat], out[..., d_hat:]
+
+        return pair_heads
 
     # ---------------------------------------------------------------- noise
     def _prenoise(self, key, batch, rows=None):
@@ -174,12 +237,12 @@ class MFGSolver:
             y = params["full"]["y0"] * ones
 
             noise = self._prenoise(key, batch)
+            pair_heads = self._make_pair(params)
 
             def body(carry, xs):
                 state, h_y, y = carry
                 i, dw0, dw, jn = xs
-                h_out = self._hat(params, state)
-                f_out = self._full(params, state)
+                h_out, f_out = pair_heads(state)
                 hz0, hgam = h_out[..., 0], h_out[..., 1]
                 z0, gam, z = f_out[..., 0], f_out[..., 1], f_out[..., 2]
                 dn, compens = self._dn(jn, state)
@@ -205,11 +268,11 @@ class MFGSolver:
             state = model.init_state(batch)
 
             noise = self._prenoise(key, batch)
+            pair_heads = self._make_pair(params)
 
             def body(state, xs):
                 i, dw0, dw, jn = xs
-                h_out = self._hat(params, state)
-                f_out = self._full(params, state)
+                h_out, f_out = pair_heads(state)
                 h_y, y = h_out[..., 0], f_out[..., 0]
                 dn, compens = self._dn(jn, state)
                 to_add_hat = -dt * model.f(state.hS)
@@ -253,8 +316,8 @@ class MFGSolver:
 
         def pair(params, key):
             state = model.init_state(batch)
-            h_out = self._hat(params, state)
-            f_out = self._full(params, state)
+            pair_heads = self._make_pair(params)
+            h_out, f_out = pair_heads(state)
 
             noise = self._prenoise(key, batch)
 
@@ -271,8 +334,7 @@ class MFGSolver:
                     to_add = (to_add - f_out[..., 1] * dw0 - f_out[..., 2] * dpi
                               - f_out[..., 3] * dw)
                 state = model.step(state, dw0, dw, dn, h_y_prev, y_prev)
-                h_out_n = self._hat(params, state)
-                f_out_n = self._full(params, state)
+                h_out_n, f_out_n = pair_heads(state)
                 is_last = i == N - 1
                 h_y_next = jnp.where(is_last, model.g(state.hS), h_out_n[..., 0])
                 y_next = jnp.where(is_last, model.g(state.S), f_out_n[..., 0])

@@ -362,6 +362,31 @@ def test_mfg_scan_chunk_matches_flat_scan(rng_key, scheme, chunk):
     assert rel < 1e-5
 
 
+@pytest.mark.parametrize("scheme", ["global", "multistep", "sumlocal"])
+def test_mfg_fused_heads_match_split(rng_key, scheme):
+    """Block-diagonal head fusion (MFGSolver(fuse_heads=True), opt-in —
+    measured slower on TPU, see BASELINE.md) computes the same pair loss as
+    the split heads: block-diag weights make the two MLPs independent, so
+    losses are bit-exact and grads differ only by backward dot order."""
+    import dataclasses
+
+    from deepfbsdejsolvers_tpu.models.mfg_smart_grid import make_mfg_default
+    from deepfbsdejsolvers_tpu.solvers.mfg import MFGSolver
+
+    m = dataclasses.replace(make_mfg_default(), jump_sampler="icdf")
+    vals, grads = {}, {}
+    for tag, fuse in (("split", False), ("fused", True)):
+        solver = MFGSolver(m, scheme, fuse_heads=fuse)
+        params = solver.init_params(jax.random.key(0))
+        loss, grad = jax.value_and_grad(
+            jax.jit(solver.build_losses(64)["coupled"]))(params, rng_key)
+        vals[tag], grads[tag] = float(loss), grad
+    assert vals["fused"] == pytest.approx(vals["split"], rel=1e-6)
+    fa, _ = jax.flatten_util.ravel_pytree(grads["split"])
+    fb, _ = jax.flatten_util.ravel_pytree(grads["fused"])
+    assert float(jnp.linalg.norm(fa - fb) / jnp.linalg.norm(fa)) < 1e-5
+
+
 def test_hoisted_mc_compensator_matches_inscan(rng_key):
     """Hoisted tables under the reference-exact MC node law: same per-step
     node draws as the in-scan chebyshev+mc branch (both consume the per-step
