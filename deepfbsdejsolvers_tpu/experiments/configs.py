@@ -156,6 +156,12 @@ class MFGConfigBase:
     jump_model: str = "stochastic"
     activation_hat: str = "tanh"
     activation: str = "tanh"
+    # TPU speed knobs (CLI --fast sets icdf + scan_chunk=16; BASELINE.md MFG
+    # profile note): "icdf" replaces jax.random.poisson's per-path rejection
+    # loop with the table-inverted Cox sampler; scan_chunk unrolls the time
+    # scan in blocks (ops/scan.py) — same math, tested flat-equal.
+    jump_sampler: str = "exact"
+    scan_chunk: int = 0
     # Shard the path batch over all visible chips (see PricingConfigBase).
     data_parallel: bool = False
     seed: int = 0

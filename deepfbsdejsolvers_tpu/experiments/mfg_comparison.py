@@ -48,12 +48,17 @@ class MFGComparisonResult:
 
 def build_mfg_model(config: MFGComparisonConfig):
     """Model from config (mainMFGComparison.py:92-110)."""
-    return make_mfg_default(
+    model = make_mfg_default(
         nb_days=config.nb_days, raf_coef=config.raf_coef,
         jump_factor=config.jump_factor, pi=config.pi, p0=config.p0,
         p1=config.p1, f0=config.f0, f1=config.f1,
         jump_model=config.jump_model, coeff_equi=1.0,
     )
+    if config.jump_sampler != model.jump_sampler:
+        import dataclasses
+
+        model = dataclasses.replace(model, jump_sampler=config.jump_sampler)
+    return model
 
 
 def run_mfg_comparison(config: MFGComparisonConfig,
@@ -84,7 +89,8 @@ def run_mfg_comparison(config: MFGComparisonConfig,
             solver = MFGSolver(model=model, scheme=scheme,
                                hidden_hat=config.hidden_hat, hidden=config.hidden,
                                activation_hat=config.activation_hat,
-                               activation=config.activation)
+                               activation=config.activation,
+                               scan_chunk=config.scan_chunk)
             solvers[method] = solver
             mlog = logger.child(method=method) if logger else None
             res = solver.train(

@@ -70,11 +70,16 @@ class PoARunResult:
 
 def _make_model(config: MFGPoAConfig, pi: float, p0: float, p1: float,
                 f0: float, f1: float, coeff_equi: float) -> SmartGridMFGModel:
-    return make_mfg_default(
+    model = make_mfg_default(
         nb_days=config.nb_days, raf_coef=config.raf_coef,
         jump_factor=config.jump_factor, pi=pi, p0=p0, p1=p1, f0=f0, f1=f1,
         jump_model=config.jump_model, coeff_equi=coeff_equi,
     )
+    if config.jump_sampler != model.jump_sampler:
+        import dataclasses
+
+        model = dataclasses.replace(model, jump_sampler=config.jump_sampler)
+    return model
 
 
 def run_mfg_poa(config: MFGPoAConfig, verbose: bool = True) -> PoARunResult:
@@ -116,7 +121,8 @@ def run_mfg_poa(config: MFGPoAConfig, verbose: bool = True) -> PoARunResult:
                         model=model, scheme=scheme,
                         hidden_hat=config.hidden_hat, hidden=config.hidden,
                         activation_hat=config.activation_hat,
-                        activation=config.activation)
+                        activation=config.activation,
+                        scan_chunk=config.scan_chunk)
                     # deterministic per-(case, pi, model) training key
                     cell_id = (i_case * len(config.pi_list) + i_pi) * 2 + i_tag
                     res = solver.train(
