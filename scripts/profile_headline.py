@@ -34,14 +34,15 @@ PEAK_BF16_FLOPS = 1.97e14
 PEAK_HBM_BPS = 8.1e11
 
 
-def build_epoch(batch, inner, mode="speed", model_name="merton"):
+def build_epoch(batch, inner, mode="speed", model_name="merton",
+                compensator="quadrature"):
     import jax
 
     from bench import build
     from deepfbsdejsolvers_tpu.solvers.train import make_epoch_fn
 
     model, solver, params, optimizer, opt_state, loss_fn = build(
-        batch, "quadrature", parity=(mode == "parity"),
+        batch, compensator, parity=(mode == "parity"),
         model_name=model_name)
     epoch = make_epoch_fn(loss_fn, optimizer, inner)
     key = jax.random.key(1)
@@ -65,11 +66,11 @@ def timed(epoch, params, opt_state, key, rounds=3, warmup=2):
     return sorted(ts)[len(ts) // 2]
 
 
-def run_cost(batch, inner, mode, model_name="merton"):
+def run_cost(batch, inner, mode, model_name="merton", compensator="quadrature"):
     import jax
 
     model, solver, params, optimizer, opt_state, loss_fn, epoch, key = \
-        build_epoch(batch, inner, mode, model_name)
+        build_epoch(batch, inner, mode, model_name, compensator)
     lowered = jax.jit(epoch).lower(params, opt_state, key)
     compiled = lowered.compile()
     ca = compiled.cost_analysis()
@@ -99,11 +100,12 @@ def run_cost(batch, inner, mode, model_name="merton"):
     return out
 
 
-def run_trace(batch, inner, mode, trace_dir, top=40, model_name="merton"):
+def run_trace(batch, inner, mode, trace_dir, top=40, model_name="merton",
+              compensator="quadrature"):
     import jax
 
     model, solver, params, optimizer, opt_state, loss_fn, epoch, key = \
-        build_epoch(batch, inner, mode, model_name)
+        build_epoch(batch, inner, mode, model_name, compensator)
     # warm up fully so the trace holds steady-state epochs only
     for w in range(2):
         params, opt_state, loss = epoch(params, opt_state,
@@ -218,6 +220,8 @@ def main():
                    default="merton",
                    help="workload to profile (--cost/--trace; --ablate is "
                         "merton-only)")
+    p.add_argument("--compensator", choices=["quadrature", "mc"],
+                   default="quadrature")
     p.add_argument("--cost", action="store_true")
     p.add_argument("--ablate", action="store_true")
     p.add_argument("--trace", type=str, default=None)
@@ -230,10 +234,11 @@ def main():
         summarize_trace(args.summarize, args.top)
         return
     if args.cost:
-        run_cost(args.batch, args.inner, args.mode, args.model)
+        run_cost(args.batch, args.inner, args.mode, args.model,
+                 args.compensator)
     if args.trace:
         run_trace(args.batch, args.inner, args.mode, args.trace, args.top,
-                  args.model)
+                  args.model, args.compensator)
     if args.ablate:
         if args.model != "merton":
             p.error("--ablate supports only --model merton")
