@@ -126,12 +126,18 @@ def build(batch: int, compensator: str, parity: bool, model_name: str = "merton"
         # Exact math: grads == flat scan at fixed params (tests).
         model = make_merton_default(jump_sampler="icdf",
                                     price_mode="chebyshev")
+        # NOTE --sweep pallas also reaches the hoisted MC table build
+        # (+3.5%, 1.43 -> 1.49e8) but is NOT the default there: the kernel's
+        # node-packing quantizes the net differently from the in-body XLA
+        # heads, breaking the quantization-cancellation the tables rely on —
+        # measured merton_speed_mc gate FAIL at 5.7e-3 mean vs 2.1e-4 for
+        # XLA-built tables (BASELINE.md MC-mode profile note).
         solver = PricingSolver(
             model, "global",
             compensator=CompensatorSpec(kind=compensator,
                                         x_interp="chebyshev", n_cheb=64),
             hoist=True, hoist_interp="piecewise", scan_chunk=2,
-            adjoint=adjoint,
+            sweep_impl=sweep or "xla", adjoint=adjoint,
             fused_rollout=fused, fused_precision=fused_precision)
     params = solver.init_params(jax.random.key(0))
     optimizer = make_adam(4e-4)

@@ -643,15 +643,27 @@ class PricingSolver:
         # that broke the round-3 accuracy gate at 4e-3..1.3e-2.
         if self.compensator.kind == "mc":
             n_mc = self.compensator.n_mc
+            # OPT-IN (sweep_impl="pallas"): build the tables through the
+            # fused Pallas sweep — its custom VJP saves no [C, n_mc, H]
+            # activations, measured +3.5% (1.43 -> 1.49e8).  NOT the
+            # default: although its dots are DEFAULT precision too, the
+            # kernel's node-packing/rank-1 tricks quantize the net
+            # DIFFERENTLY from the in-body XLA heads (up to 2.8e-3 abs at
+            # the fit points), and the piecewise fit amplifies that
+            # mismatch — measured merton_speed_mc gate FAIL 5.7e-3 mean vs
+            # 2.1e-4 for XLA-built tables (BASELINE.md MC profile note).
+            use_pallas = self._pallas_ok(params)
 
             def comp_row(args):
                 i, xp, km = args
                 mc = self.model.sample_jumps(km, (n_mc,))
+                if use_pallas:
+                    return self._pallas_sweep_mean(params, i, xp, mc, None)
                 return self._sweep_comp_at(params, i, xp, mc, None, use_gam)
 
             # blocks of steps bound the [block*C, n_mc, H] sweep activations
             vals = jax.lax.map(comp_row, (steps, nodes, kms[:N]),
-                               batch_size=8)
+                               batch_size=None if use_pallas else 8)
         else:
             qn, qw = self._quad
             vals = jax.vmap(
