@@ -288,6 +288,12 @@ def main():
                 "(no --parity, --model merton)")
     if args.fusedPrecision and not args.fused:
         p.error("--fusedPrecision requires --fused")
+    if args.adjoint and (args.parity or args.model != "merton"):
+        p.error("--adjoint applies only to the merton speed config "
+                "(no --parity, --model merton)")
+    if args.sweep and args.model in ("vg", "mfg"):
+        p.error("--sweep applies only to --model merton (the vg/mfg "
+                "builders take no sweep implementation)")
 
     if os.environ.get(_CHILD_ENV) != "1" and not args.anchor:
         sys.exit(_run_with_watchdog(sys.argv[1:]))

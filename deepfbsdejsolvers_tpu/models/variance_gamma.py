@@ -127,7 +127,7 @@ class VGModel:
                                                          _pw_tables)
 
         p, deg = self.icdf_pieces, self.icdf_degree
-        t_glob, _ = _pw_tables(p, deg)                       # (P*(D+1),) in [0, 1]
+        t_glob = _pw_tables(p, deg)                          # (P*(D+1),) in [0, 1]
         # float64 throughout: in f32, ndtr saturates to exactly 1.0 inside
         # |z| <= 5.5 and the quantile blows up to inf
         z = -self.icdf_zmax + 2.0 * self.icdf_zmax * np.asarray(t_glob,

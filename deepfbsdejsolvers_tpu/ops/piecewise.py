@@ -43,29 +43,26 @@ import numpy as np
 
 @functools.lru_cache(maxsize=None)
 def _pw_tables(n_pieces: int, degree: int):
-    """Host tables for a (P pieces) x (degree+1 coefficients) fit.
-
-    Returns (t_nodes, fit) with t_nodes (P*D,) the sample points in the
-    GLOBAL [0, 1] coordinate (D Chebyshev points per piece) and fit (D, D)
-    mapping a piece's D sampled values to its local monomial coefficients
-    (in the piece-local coordinate t in [0, 1])."""
+    """Sample points for a (P pieces) x (degree+1) piecewise fit: (P*D,) in
+    the GLOBAL [0, 1] coordinate, D Chebyshev points per piece.  (The fit
+    itself lives in pw_fit/_pw_cheb_fit — the original inverse-Vandermonde
+    monomial fit matrix was dropped with the basis switch; see pw_fit's
+    conditioning note.)"""
     d = degree + 1
     k = np.arange(d)
     # Chebyshev points of the piece, in piece-local [-1, 1]
     t_loc = -np.cos(np.pi * (k + 0.5) / d)                     # (D,)
-    vand = t_loc[:, None] ** np.arange(d)[None, :]             # (D, D)
-    fit = np.linalg.inv(vand)                                  # (D, D)
     pieces = np.arange(n_pieces)
     t_glob = ((pieces[:, None] + 0.5 * (t_loc[None, :] + 1.0))
               / n_pieces).reshape(-1)
-    return t_glob.astype(np.float32), fit.astype(np.float32)
+    return t_glob.astype(np.float32)
 
 
 def pw_nodes(x_lo: jax.Array, x_hi: jax.Array, n_pieces: int,
              degree: int) -> jax.Array:
     """Sample points on [x_lo, x_hi] (last axis, P*D points); ends are
     gradient-stopped like cheb_nodes."""
-    t, _ = _pw_tables(n_pieces, degree)
+    t = _pw_tables(n_pieces, degree)
     x_lo = jax.lax.stop_gradient(x_lo)
     x_hi = jax.lax.stop_gradient(x_hi)
     return x_lo[..., None] + (x_hi - x_lo)[..., None] * jnp.asarray(t)

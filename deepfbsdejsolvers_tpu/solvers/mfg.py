@@ -148,10 +148,11 @@ class MFGSolver:
         return {"W": Ws, "b": bs}
 
     def _pair_features(self, state: MFGState) -> jax.Array:
-        """(t,hQ,hS,R | t,Q,S,hQ,hS,R) in one stack — both heads' inputs."""
-        t = jnp.full_like(state.hQ, state.i.astype(jnp.float32) * self.model._dt)
-        return jnp.stack([t, state.hQ, state.hS, state.R,
-                          t, state.Q, state.S, state.hQ, state.hS, state.R], -1)
+        """Both heads' inputs side by side — delegates to the model's own
+        feature builders so the fused path can never drift from the split
+        path if the feature layout changes."""
+        return jnp.concatenate([self.model.projected_features(state),
+                                self.model.all_features(state)], -1)
 
     def _make_pair(self, params):
         """Returns pair_heads(state) -> (h_out, f_out).

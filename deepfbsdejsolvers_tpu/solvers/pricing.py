@@ -222,6 +222,10 @@ class PricingSolver:
             if self.comp_axis is not None:
                 raise ValueError("hoist=True is incompatible with "
                                  "compensator-axis sharding")
+        if self.hoist_interp not in ("piecewise", "clenshaw"):
+            raise ValueError(
+                "hoist_interp must be 'piecewise' or 'clenshaw', got "
+                f"{self.hoist_interp!r}")
         if self.compensator.kind == "quadrature":
             nodes, weights = self.model.jump_quadrature(self.compensator)
             if self.comp_axis is not None:
@@ -670,7 +674,10 @@ class PricingSolver:
                 lambda i, xp: self._sweep_comp_at(params, i, xp, qn, qw,
                                                   use_gam))(steps, nodes)
         out = {"lo": lo, "hi": hi, "cc": fit(vals)}
-        if self._price_collocated():
+        # shift_next tables span the x_{i+1} marginals, and their only
+        # consumer (the sumlocal scan body) evaluates the forward drift's
+        # A(i, X_i) un-hoisted — so the pricer table would be dead work.
+        if self._price_collocated() and not shift_next:
             pvals = jax.vmap(model.price)(steps, nodes)
             out["pc"] = fit(pvals)
         if self.hoist_z and self.scheme == "global" and self.jump_diff:
@@ -824,6 +831,10 @@ class PricingSolver:
 
         h = self.hidden
         return (self._adjoint_ok() and not self.hoist_gamma
+                # like _pallas_ok: the kernel computes f32 unconditionally —
+                # mixing it with bf16-built tables/heads would silently break
+                # the quantization-cancellation design
+                and self._compute_dtype in (None, jnp.float32)
                 and self.activation == "tanh"
                 and len(h) == 2 and h[0] == h[1] and h[0] <= 128
                 and batch % TILE == 0

@@ -4,12 +4,13 @@
 Measures the merton speed config train epoch (10 inner steps, batch 2^17)
 across in-kernel (select precision, head precision) x TILE, plus the XLA
 (non-fused) reference.  Precision is the whole fused-kernel story
-(matrices of 2026-08-18): XLA 4.75e8 paths·steps/s; fused all-DEFAULT
-4.69e8 (gate-failing select numerics); fused HIGHEST-selects +
-DEFAULT-heads 4.05e8 (the shipped default — exact selection); fused
-all-HIGHEST 2.3-3.0e8.  Mosaic lowers only DEFAULT and HIGHEST in-kernel
-(HIGH raises NotImplementedError on the chip) — see ops/pallas_rollout
-precision note.
+(matrices of 2026-08-18, PRE-scan_chunk XLA row): XLA 4.75e8
+paths·steps/s; fused all-DEFAULT 4.69e8 (gate-failing select numerics);
+fused HIGHEST-selects + DEFAULT-heads 4.05e8 (the shipped default — exact
+selection); fused all-HIGHEST 2.3-3.0e8.  The XLA reference row now
+includes the shipped scan_chunk=2 (+12%, ~5.3e8), widening the verdict.
+Mosaic lowers only DEFAULT and HIGHEST in-kernel (HIGH raises
+NotImplementedError on the chip) — see ops/pallas_rollout precision note.
 
 Usage:
   PYTHONPATH=.:$PYTHONPATH python scripts/fused_ab.py [--batch 131072] \
@@ -40,6 +41,11 @@ def measure_one(batch, inner, fused, precision, head_precision, tile):
             compensator=CompensatorSpec(kind="quadrature",
                                         x_interp="chebyshev", n_cheb=64),
             hoist=True, hoist_interp="piecewise",
+            # the SHIPPED XLA baseline includes scan_chunk=2 (+12%, commit
+            # "Ship scan_chunk=2"); the fused kernel has no scan, so the
+            # knob only shapes the reference row — without it the A/B
+            # flatters the kernel by ~12%
+            scan_chunk=0 if fused else 2,
             fused_rollout=fused, fused_precision=precision,
             fused_head_precision=head_precision)
         params = solver.init_params(jax.random.key(0))

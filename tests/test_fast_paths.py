@@ -71,9 +71,12 @@ def test_vg_icdf_gamma_sampler_matches_law(rng_key):
     from deepfbsdejsolvers_tpu.models.variance_gamma import make_vg_default
 
     n = 200_000
+    # independent keys: with a shared key the two samplers reuse the same
+    # normal draws, correlating the samples and voiding ks_2samp's null
+    k_icdf, k_exact = jax.random.split(rng_key)
     j_icdf = np.asarray(make_vg_default(jump_sampler="icdf").sample_jumps(
-        rng_key, (n,)))
-    j_exact = np.asarray(make_vg_default().sample_jumps(rng_key, (n,)))
+        k_icdf, (n,)))
+    j_exact = np.asarray(make_vg_default().sample_jumps(k_exact, (n,)))
     assert j_icdf.mean() == pytest.approx(j_exact.mean(), abs=4e-4)
     assert j_icdf.std() == pytest.approx(j_exact.std(), rel=2e-2)
     assert stats.skew(j_icdf) == pytest.approx(stats.skew(j_exact), abs=0.15)
