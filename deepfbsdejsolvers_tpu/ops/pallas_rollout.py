@@ -77,20 +77,28 @@ _R = 8          # sublane rows of a path tile
 #   HIGHEST: HIGH raises "NotImplementedError: Unsupported dot precision"
 #   at compile on the real chip (measured 2026-08-18; interpret mode does
 #   not catch it).
-# * HEAD dots (the Γ-MLP forward/backward contractions) run at DEFAULT —
-#   the XLA path's in-body heads compute through single bf16 MXU passes
-#   too, and the compensator tables are deliberately built from that same
-#   quantized net so the quantization cancels in (Γ − comp)
-#   (solvers/pricing.py::_hoist_tables precision-policy note).
+# * HEAD dots (the Γ-MLP forward/backward contractions) also run at
+#   HIGHEST.  The original default was DEFAULT on the theory that the
+#   kernel's bf16 passes would cancel against DEFAULT-built tables the way
+#   the XLA path's do — MEASURED FALSE on hardware (first real-chip gate
+#   run, 2026-08-19): the kernel's packed-weight layout (w1c rows, folded
+#   b3, rank-1 first layer) quantizes the net DIFFERENTLY from XLA's
+#   mlp_apply, so (Γ − comp) keeps a systematic residual and the 3-seed
+#   merton_speed_fused gate FAILED at 2.2e-2 mean (gam.W grads 20% off
+#   autodiff, uz.y0 3.3x off).  With HIGHEST heads AND the tables built
+#   under jax.default_matmul_precision('highest') (the fused loss builder
+#   does this), both sides are near-exact f32 and on-chip grads match
+#   autodiff to <= 9e-4 rel at N=50 — self-consistency, not cancellation.
 #
 # The round-3 A/B (scripts/fused_ab.py, 2^17 batch) showed precision is
 # the whole fused-kernel story: XLA 4.75e8 paths·steps/s; fused all-DEFAULT
 # 4.69e8 (gate-failing selects); fused HIGHEST-selects + DEFAULT-heads
-# 4.05e8 (this default); fused all-HIGHEST 2.3-3.0e8.
+# 4.05e8 (the superseded default — gate-failing, see above); fused
+# all-HIGHEST 2.3-3.0e8 (this default — the accuracy-correct config).
 # Override via make_fused_rollout(precision=..., head_precision=...) /
 # PricingSolver(fused_precision=..., fused_head_precision=...) for A/B.
 _PREC = jax.lax.Precision.HIGHEST
-_HEAD_PREC = jax.lax.Precision.DEFAULT
+_HEAD_PREC = jax.lax.Precision.HIGHEST
 
 
 def _clenshaw_k(c, t):

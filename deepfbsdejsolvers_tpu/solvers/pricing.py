@@ -195,9 +195,11 @@ class PricingSolver:
     # exact selection — Mosaic's in-kernel dot lowering supports only
     # DEFAULT and HIGHEST; "high" compiles under interpret but raises
     # NotImplementedError on the chip); ``fused_head_precision`` the Γ-MLP
-    # dots (None = DEFAULT — the same single-bf16-pass numerics the XLA
-    # path's in-body heads use, and the round-3 A/B's 2x throughput lever).
-    # "highest" on both for exact-numerics A/B.
+    # dots (None = HIGHEST — the accuracy-correct default: the kernel's
+    # packed-weight DEFAULT quantization does NOT cancel against the
+    # DEFAULT-built tables the way the XLA path's does, measured as a
+    # 3-seed gate FAIL; the loss builder matches the table-build precision
+    # to this knob).  "default" heads remain available for throughput A/B.
     fused_precision: Optional[str] = None
     fused_head_precision: Optional[str] = None
     # Scale applied to the raw step-index time feature before it enters the
@@ -858,9 +860,21 @@ class PricingSolver:
                                   precision=self.fused_precision,
                                   head_precision=self.fused_head_precision)
 
+        # Table precision must MATCH the in-kernel head precision: the
+        # kernel's packed-weight quantization differs from mlp_apply's, so
+        # the XLA path's DEFAULT-sweep cancellation does not transfer — the
+        # fused path needs SELF-consistency instead (both sides near-exact
+        # f32).  Measured on chip: DEFAULT tables + DEFAULT heads fail the
+        # 3-seed gate at 2.2e-2 mean; HIGHEST/HIGHEST matches autodiff
+        # grads to <= 9e-4 at N=50 (ops/pallas_rollout precision note).
+        head_prec = self.fused_head_precision or "highest"
+        table_prec = ("highest" if str(head_prec).lower().endswith("highest")
+                      else "default")
+
         def loss(params, key):
             noise = self._prenoise(key, batch)
-            tables = self._hoist_tables(params, noise)
+            with jax.default_matmul_precision(table_prec):
+                tables = self._hoist_tables(params, noise)
             x_n, y_n = roll(params["gam"], params["uz"]["y0"],
                             {k: tables[k] for k in
                              ("cc", "pc", "zc", "lo", "hi")},

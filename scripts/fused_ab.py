@@ -6,9 +6,11 @@ across in-kernel (select precision, head precision) x TILE, plus the XLA
 (non-fused) reference.  Precision is the whole fused-kernel story
 (matrices of 2026-08-18, PRE-scan_chunk XLA row): XLA 4.75e8
 paths·steps/s; fused all-DEFAULT 4.69e8 (gate-failing select numerics);
-fused HIGHEST-selects + DEFAULT-heads 4.05e8 (the shipped default — exact
-selection); fused all-HIGHEST 2.3-3.0e8.  The XLA reference row now
-includes the shipped scan_chunk=2 (+12%, ~5.3e8), widening the verdict.
+fused HIGHEST-selects + DEFAULT-heads 4.05e8 (gate-failing too — the
+2026-08-19 precision-consistency correction, BASELINE.md); fused
+all-HIGHEST 2.3-3.0e8 (the corrected shipped default, gate PASS).  The
+XLA reference row now includes the shipped scan_chunk=2 (+12%, ~5.3e8),
+widening the verdict.
 Mosaic lowers only DEFAULT and HIGHEST in-kernel (HIGH raises
 NotImplementedError on the chip) — see ops/pallas_rollout precision note.
 
