@@ -4,11 +4,15 @@ tolerance and gradients to fp tolerance, through the identical residual
 recurrence as the verified transposed adjoint (solvers/adjoint.py).
 
 On CPU the kernels run in Pallas interpret mode (PricingSolver gates
-``interpret`` on the platform), so the comparison here is exact-f32;
-the real-TPU Mosaic compile + the shipped in-kernel precision split
-(HIGHEST selects / DEFAULT Γ-head dots — Mosaic lowers only DEFAULT and
-HIGHEST; see ops/pallas_rollout precision note) are exercised by the
-same harness on hardware (BASELINE.md fused-rollout note).
+``interpret`` on the platform), so the comparison here is exact-f32.
+CAUTION (learned the hard way — BASELINE.md precision-consistency
+correction): interpret-mode equality CANNOT catch quantization-consistency
+defects, because both sides compute exact f32.  On the real chip the
+kernel's packed-weight layout quantizes the net differently from
+mlp_apply, and the original DEFAULT-head default trained 2.2e-2 off the
+oracle while these tests passed.  The hardware check is the 3-seed
+training gate (`scripts/convergence_gates.py merton_speed_fused`), which
+passes at 1.8e-4 under the corrected consistent-HIGHEST defaults.
 """
 
 import dataclasses
