@@ -207,10 +207,21 @@ def merton_form_constants(model):
         z = jnp.zeros(())
         drift = float(model.uncoupled_log_increments(z, z))
         one = jnp.ones(())
+        two = jnp.full((), 2.0)
+        # Five probes: the three on-axis points pin the affine coefficients,
+        # (1,1) falsifies any dW x J cross term, and (2,0)/(0,2) falsify
+        # quadratic terms — three points alone cannot reject a non-affine
+        # form that happens to interpolate them.
         if not (np.isclose(float(model.uncoupled_log_increments(one, z)),
                            drift + sigma, rtol=1e-6)
                 and np.isclose(float(model.uncoupled_log_increments(z, one)),
-                               drift + 1.0, rtol=1e-6)):
+                               drift + 1.0, rtol=1e-6)
+                and np.isclose(float(model.uncoupled_log_increments(one, one)),
+                               drift + sigma + 1.0, rtol=1e-6)
+                and np.isclose(float(model.uncoupled_log_increments(two, z)),
+                               drift + 2.0 * sigma, rtol=1e-6)
+                and np.isclose(float(model.uncoupled_log_increments(z, two)),
+                               drift + 2.0, rtol=1e-6)):
             return None
         return r, a_lin, sigma, drift, x0
     except Exception:
@@ -236,6 +247,15 @@ def make_fused_rollout(model, hidden: int, time_scale: float = 1.0,
             else _PREC)
     hprec = (jax.lax.Precision(head_precision) if head_precision is not None
              else _HEAD_PREC)
+    if not interpret:
+        # Mosaic's in-kernel dot lowering supports only DEFAULT and HIGHEST
+        # (HIGH dies with an obscure NotImplementedError at on-chip compile,
+        # which interpret-mode/CPU tests cannot catch) — fail eagerly here.
+        for name, p in (("precision", prec), ("head_precision", hprec)):
+            if p not in (jax.lax.Precision.DEFAULT, jax.lax.Precision.HIGHEST):
+                raise ValueError(
+                    f"make_fused_rollout: {name}={p} is not lowerable by "
+                    "Mosaic on TPU — use DEFAULT or HIGHEST")
     consts = merton_form_constants(model)
     if consts is None:
         raise ValueError("make_fused_rollout requires a Merton-form model "
@@ -246,13 +266,19 @@ def make_fused_rollout(model, hidden: int, time_scale: float = 1.0,
     p_, d_ = n_pieces, degree + 1
     L = TILE // _R
 
-    def _mlp_fwd(w1c, b1, w2, b2, w3, i, x, jr):
-        """Feature-major Γ head; returns (h1, h2 (H, 8, L), gam (8, L))."""
+    def _mlp_hidden(w1c, b1, w2, b2, i, x, jr):
+        """Feature-major Γ-head hidden states (h1, h2), each (H, 8, L) —
+        the backward kernel needs only these, not the Γ value itself."""
         t_i = jnp.float32(time_scale) * i.astype(jnp.float32)
         pre1 = (w1c[:, 0:1, 0:1] * t_i + w1c[:, 1:2, 0:1] * x[None]
                 + w1c[:, 2:3, 0:1] * jr[None] + b1[:, :, None])
         h1 = jnp.tanh(pre1)
         h2 = jnp.tanh(_dot_k(w2, h1, hprec) + b2[:, :, None])
+        return h1, h2
+
+    def _mlp_fwd(w1c, b1, w2, b2, w3, i, x, jr):
+        """Feature-major Γ head; returns (h1, h2 (H, 8, L), gam (8, L))."""
+        h1, h2 = _mlp_hidden(w1c, b1, w2, b2, i, x, jr)
         gam = _dot_k(w3, h2, hprec)[0]
         return h1, h2, gam
 
@@ -338,7 +364,7 @@ def make_fused_rollout(model, hidden: int, time_scale: float = 1.0,
                                            t)
             _, dzd = _clenshaw_k_deriv(_select(zcT_ref[i], onehot, prec), t)
             cps, aps, zps = dcd * dtdx, dad * dtdx, dzd * dtdx
-            h1, h2, _ = _mlp_fwd(w1c[:, :, None], b1, w2, b2, w3, i, x, jr)
+            h1, h2 = _mlp_hidden(w1c[:, :, None], b1, w2, b2, i, x, jr)
             s1 = 1.0 - h1 * h1
             s2 = 1.0 - h2 * h2
             # forward-mode dΓ/dx

@@ -64,8 +64,10 @@ def chunked_scan(
     xs_r = jax.tree.map(lambda a: a.reshape((nch, k) + a.shape[1:]), xs)
 
     def chunk_fn(c, xc):
-        return jax.lax.scan(body, c, xc, unroll=True)
+        # Explicit lengths keep the xs=None (length-only) lax.scan idiom
+        # working — tree.map over None yields None, which carries no length.
+        return jax.lax.scan(body, c, xc, length=k, unroll=True)
 
-    carry, ys = jax.lax.scan(_ckpt(chunk_fn), carry, xs_r)
+    carry, ys = jax.lax.scan(_ckpt(chunk_fn), carry, xs_r, length=nch)
     ys = jax.tree.map(lambda a: a.reshape((length,) + a.shape[2:]), ys)
     return carry, ys

@@ -173,3 +173,45 @@ def test_fused_grads_match_at_production_width():
     ga = jax.jit(jax.grad(auto))(params, key)
     gf = jax.jit(jax.grad(fused))(params, key)
     assert _rel(ga, gf) < 3e-5, _rel(ga, gf)
+
+
+def test_form_probe_rejects_nonaffine_log_increments():
+    """Three on-axis probes alone cannot falsify a non-affine increment form
+    that interpolates them — a cross (dW*J) or quadratic term must fail the
+    extended 5-point probe, not silently bake wrong dynamics."""
+    from deepfbsdejsolvers_tpu.ops.pallas_rollout import merton_form_constants
+
+    base = make_merton_default()
+
+    class CrossTerm:
+        def __getattr__(self, name):
+            return getattr(base, name)
+
+        def uncoupled_log_increments(self, dw, j):
+            return base.uncoupled_log_increments(dw, j) + 0.05 * dw * j
+
+    class QuadraticDW:
+        def __getattr__(self, name):
+            return getattr(base, name)
+
+        def uncoupled_log_increments(self, dw, j):
+            return base.uncoupled_log_increments(dw, j) + 0.05 * dw * dw
+
+    assert merton_form_constants(base) is not None
+    assert merton_form_constants(CrossTerm()) is None
+    assert merton_form_constants(QuadraticDW()) is None
+
+
+def test_fused_rejects_unlowerable_precision_eagerly():
+    """Mosaic lowers only DEFAULT/HIGHEST in-kernel dots; HIGH must be
+    rejected at build time (on-chip it dies with an obscure
+    NotImplementedError that interpret-mode tests cannot reproduce)."""
+    from deepfbsdejsolvers_tpu.ops.pallas_rollout import make_fused_rollout
+
+    model = make_merton_default(jump_sampler="icdf", price_mode="chebyshev")
+    with pytest.raises(ValueError, match="Mosaic"):
+        make_fused_rollout(model, 8, interpret=False, precision="high")
+    with pytest.raises(ValueError, match="Mosaic"):
+        make_fused_rollout(model, 8, interpret=False, head_precision="high")
+    # interpret mode may keep any precision (it computes exact f32 anyway)
+    make_fused_rollout(model, 8, interpret=True, precision="high")

@@ -77,3 +77,18 @@ def test_save_policy_threads_through():
     g0 = jax.grad(loss)(jnp.float32(0.3), 0)
     g2 = jax.grad(loss)(jnp.float32(0.3), 2)
     assert float(g0) == pytest.approx(float(g2), rel=1e-7)
+
+
+@pytest.mark.parametrize("chunk", [0, 2, 3, 4])
+def test_xs_none_length_only_idiom(chunk):
+    """chunked_scan is a drop-in for lax.scan(body, c, None, length=N): with
+    no xs pytree the chunk lengths must be threaded explicitly into both
+    scans (tree.map over None carries no length)."""
+    def body(c, _):
+        return c * 0.5 + 1.0, c
+
+    ref_c, ref_ys = jax.lax.scan(body, jnp.float32(3.0), None, length=12)
+    c, ys = chunked_scan(body, jnp.float32(3.0), None, 12, chunk, remat=True)
+    assert float(c) == pytest.approx(float(ref_c), rel=1e-6)
+    assert ys.shape == ref_ys.shape
+    assert jnp.allclose(ys, ref_ys, rtol=1e-6, atol=0)
