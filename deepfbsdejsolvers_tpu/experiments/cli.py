@@ -162,6 +162,12 @@ def _add_mfg_flags(p: argparse.ArgumentParser, defaults: MFGPoAConfig | MFGCompa
                    choices=["tanh", "relu", "sigmoid"])
     p.add_argument("--dataParallel", action="store_true",
                    help="shard the path batch over all visible chips")
+    p.add_argument("--y0WarmStart", action="store_true",
+                   help="initialize the Global scheme's trainable (Y0_hat, "
+                        "Y0) at Picard-iterated MC estimates of the BSDE "
+                        "initial values instead of the reference's std-1 "
+                        "normal draws (which cannot reach the ~-46 consensus "
+                        "within the reference budget's Adam travel bound)")
     p.add_argument("--fast", action="store_true",
                    help="TPU speed config: icdf Cox jump sampler + "
                         "scan_chunk=16 (BASELINE.md MFG profile note: +7-8% "
@@ -184,6 +190,7 @@ def _mfg_common(args) -> dict:
         lrate_reg=args.lRateReg, couplage=args.couplage,
         jump_model=args.jumpModel, activation_hat=args.activation_hat,
         activation=args.activation, data_parallel=args.dataParallel,
+        y0_warm_start=args.y0WarmStart,
         seed=args.seed, io=_io_from_args(args), **fast,
     )
 

@@ -164,6 +164,13 @@ class MFGConfigBase:
     scan_chunk: int = 0
     # Shard the path batch over all visible chips (see PricingConfigBase).
     data_parallel: bool = False
+    # Initialize the Global scheme's trainable (Y0_hat, Y0) scalars at
+    # Picard-iterated MC estimates of the BSDE initial values instead of the
+    # reference's std-1 normal draws (MFGSolver.warm_start_y0).  At the
+    # reference budget the Glorot-init scalars cannot travel from ~0 to the
+    # ≈ −46 consensus (lr·steps bounds travel at ≈ 20 — BASELINE.md
+    # mfg-compare).  Off by default for init parity.
+    y0_warm_start: bool = False
     seed: int = 0
     io: RunIO = dataclasses.field(default_factory=RunIO)
 

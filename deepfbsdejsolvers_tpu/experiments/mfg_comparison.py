@@ -100,7 +100,7 @@ def run_mfg_comparison(config: MFGComparisonConfig,
                 lrate=config.lrate_for(method), couplage=config.couplage,
                 verbose=verbose,
                 on_epoch=(lambda i, m, s: mlog.log(epoch=i, **m)) if mlog else None,
-                mesh=mesh,
+                mesh=mesh, y0_warm_start=config.y0_warm_start,
             )
             results[method] = MFGMethodResult(
                 method=method, y0_hat_history=res.y0_hat_history,

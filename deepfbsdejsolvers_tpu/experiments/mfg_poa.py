@@ -132,7 +132,8 @@ def run_mfg_poa(config: MFGPoAConfig, verbose: bool = True) -> PoARunResult:
                         num_epoch=config.n_epoch,
                         num_epoch_ext=config.n_epoch_ext,
                         lrate=config.lrate_for(config.method),
-                        couplage=config.couplage, verbose=verbose, mesh=mesh)
+                        couplage=config.couplage, verbose=verbose, mesh=mesh,
+                        y0_warm_start=config.y0_warm_start)
                     for player, dw in enumerate(dws):
                         evaluators[f"{tag}_p{player + 1}"] = (
                             MFGFixedTrajectoryEvaluator(

@@ -352,6 +352,79 @@ class MFGSolver:
         return pair
 
     # ------------------------------------------------------------- training
+    def warm_start_y0(self, params: dict, key: jax.Array, batch: int = 16384,
+                      n_picard: int = 24) -> dict:
+        """Params with the two trainable scalars re-initialized at
+        fictitious-play-averaged Picard MC estimates of the BSDE initial
+        values
+
+            Y0_hat ≈ E[g(hS_N) + Σ_i dt·f(hS_i)],   Y0 ≈ E[g(S_N) + Σ_i dt·f(S_i)]
+
+        — the MFG twin of ``PricingSolver.warm_start_y0``.  The reference
+        inits Y0_hat/Y0 from Glorot on a scalar shape (std-1 normal,
+        coupledMFG/Networks.py:15,32), i.e. at ~0, while the comparison
+        config's consensus initial values sit at ≈ −46: at the reference's
+        own budget (20,000 Adam steps × lr 1e-3) the scalars' total travel
+        is bounded at ≈ 20 from init, so the Global scheme cannot reach the
+        four-method consensus band at all (see BASELINE.md mfg-compare).
+
+        Unlike the pricing case there is no "uncoupled" limit to exploit —
+        the forward controls α̂(hY), α(hY, Y) depend on the adjoint states
+        intrinsically (MFGModel.py:83-89) — so the estimate Picard-iterates
+        on deterministic per-step mean-Y tables: roll the forward system
+        feeding hY_i/Y_i from the previous iterate's (N+1,) tables, rebuild
+        the tables as  table[i] = E[g(X_N)] + dt·Σ_{s≥i} E[f(X_s)], repeat.
+        The noise is frozen across iterates.  The raw Picard map's
+        feedback-loop gain (hY → α̂ → S → g(hS) → hY) is ≈ −4.4 at the
+        comparison config, so the plain iteration DIVERGES geometrically;
+        the iterates are therefore fictitious-play averaged —
+        tab_{k+1} = tab_k + (Φ(tab_k) − tab_k)/(k+1), the standard MFG
+        fixed-point damping — whose error multiplier (k+λ)/(k+1) contracts
+        for ANY finite negative gain without a tuned relaxation factor
+        (measured: −48.7 after 24 iterates vs the −44.8…−47.5 four-method
+        consensus).  Global scheme only (the other schemes have no
+        trainable y0)."""
+        if self.scheme != "global":
+            raise ValueError(
+                f"scheme {self.scheme!r} has no trainable y0 to warm-start")
+        model, N, dt = self.model, self.model.N, self.model.dt
+        noise = self._prenoise(key, batch)
+
+        @jax.jit
+        def picard(hy_tab, y_tab):
+            state = model.init_state(batch)
+
+            def body(state, xs):
+                i, dw0, dw, jn = xs
+                fh = jnp.mean(model.f(state.hS))
+                ff = jnp.mean(model.f(state.S))
+                dn, _ = self._dn(jn, state)
+                ones = jnp.ones_like(state.hQ)
+                state = model.step(state, dw0, dw, dn,
+                                   hy_tab[i] * ones, y_tab[i] * ones)
+                return state, (fh, ff)
+
+            state, (mfh, mff) = jax.lax.scan(
+                body, state, (jnp.arange(N),) + noise)
+            gh = jnp.mean(model.g(state.hS))
+            gf = jnp.mean(model.g(state.S))
+            hy_new = jnp.concatenate([gh + dt * _suffix_sum(mfh), gh[None]])
+            y_new = jnp.concatenate([gf + dt * _suffix_sum(mff), gf[None]])
+            return hy_new, y_new
+
+        hy_tab = jnp.zeros((N + 1,), jnp.float32)
+        y_tab = jnp.zeros((N + 1,), jnp.float32)
+        for k in range(1, n_picard + 1):
+            hy_new, y_new = picard(hy_tab, y_tab)
+            w = 1.0 / (k + 1)  # fictitious-play damping (see docstring)
+            hy_tab = (1.0 - w) * hy_tab + w * hy_new
+            y_tab = (1.0 - w) * y_tab + w * y_new
+
+        out = {"hat": dict(params["hat"]), "full": dict(params["full"])}
+        out["hat"]["y0"] = hy_tab[0].astype(jnp.float32)
+        out["full"]["y0"] = y_tab[0].astype(jnp.float32)
+        return out
+
     def y0_estimates(self, params) -> Tuple[jax.Array, jax.Array]:
         """(Y0_hat, Y0): trainable scalars for global (MFGSolvers.py:88), else
         head values at the initial state (:264-265)."""
@@ -362,15 +435,25 @@ class MFGSolver:
 
     def train(self, key: jax.Array, batch: int, batch_val: int, num_epoch: int,
               num_epoch_ext: int, lrate: float, couplage: str = "ON",
-              verbose: bool = True, on_epoch=None, mesh=None):
+              verbose: bool = True, on_epoch=None, mesh=None,
+              y0_warm_start: bool = False):
         """Mirror of MFGSolvers .train(): returns (listY0_hat, listY0) plus the
         trained params (reference keeps them implicitly in the Keras objects).
         ``on_epoch`` is forwarded to :func:`fit` (metrics/checkpoint hook).
         ``mesh`` switches to the SPMD data-parallel path: ``batch``/
         ``batch_val`` stay the GLOBAL path counts, sharded over the mesh's
-        ``data`` axis (ceil per chip)."""
+        ``data`` axis (ceil per chip).  ``y0_warm_start`` (global scheme only)
+        re-initializes the trainable scalars via :meth:`warm_start_y0`."""
         key, k_init = jax.random.split(key)
         params = self.init_params(k_init)
+        if y0_warm_start and self.scheme == "global":
+            # dedicated key: fit() folds per-epoch constants into `key`, so a
+            # fold_in(key, const) here could alias a training/validation batch
+            key, k_warm = jax.random.split(key)
+            params = self.warm_start_y0(params, k_warm)
+            if verbose:
+                print(f"warm-started Y0_hat={float(params['hat']['y0']):.4f} "
+                      f"Y0={float(params['full']['y0']):.4f}")
         if mesh is not None:
             from deepfbsdejsolvers_tpu.parallel.data_parallel import per_shard_batch
 

@@ -206,3 +206,30 @@ def test_icdf_sampler_matches_exact_across_intensities(rng_key):
         assert abs(float(dn.mean()) - lam_dt) < tol, (hq, lam_dt)
         assert abs(float(dn.var()) / max(lam_dt, 1e-6) - 1.0) < 0.05
         assert abs(float(dn_ex.mean()) - lam_dt) < tol  # sanity on the oracle
+
+
+def test_warm_start_y0_lands_in_consensus_band(rng_key):
+    """The Global scheme's warm-started (Y0_hat, Y0) must start within ~10%
+    of the four-method cross-agreement band of the FULL comparison config
+    (BASELINE.md mfg-compare: -44.8 .. -47.5) — the failure the warm start
+    exists to fix is the Glorot scalars' ~0 init being unreachable-from at
+    the reference budget (VERDICT r3 item 1; MFGSolvers.py:28-29)."""
+    model = make_mfg_default()  # the 2-day comparison-config model
+    solver = MFGSolver(model, "global")
+    params = solver.init_params(rng_key)
+    warmed = solver.warm_start_y0(params, jax.random.fold_in(rng_key, 1),
+                                  batch=4096)
+    consensus = -46.1  # mean of the four agreeing methods' Y0_hat
+    for side in ("hat", "full"):
+        y0 = float(warmed[side]["y0"])
+        assert abs(y0 - consensus) / abs(consensus) < 0.10, (side, y0)
+        # everything else is untouched
+        for k in ("W", "b"):
+            for a, b in zip(params[side][k], warmed[side][k]):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_warm_start_y0_rejects_schemes_without_y0(rng_key):
+    solver = MFGSolver(small_model(), "multistep")
+    with pytest.raises(ValueError):
+        solver.warm_start_y0(solver.init_params(rng_key), rng_key)
