@@ -133,17 +133,19 @@ def _cheb_basis_k(t, d):
 
 
 def _piece_onehot(x, lo, hi, p):
-    """(one-hot (P, 8, L), local t (8, L), dt/dx (8, L)); out-of-interval x
-    clamps like ops/piecewise.pw_eval (derivative 0 past the edge)."""
+    """(one-hot (P, 8, L), piece index k (8, L) int32, local t (8, L),
+    dt/dx (8, L)); out-of-interval x clamps like ops/piecewise.pw_eval
+    (derivative 0 past the edge)."""
     span = jnp.maximum(hi - lo, 1e-6)
     s_raw = (x - lo) / span
     inside = ((s_raw >= 0.0) & (s_raw <= 1.0)).astype(x.dtype)
     s = jnp.clip(s_raw, 0.0, 1.0) * p
     k = jnp.clip(jnp.floor(s), 0.0, p - 1.0)
     t = 2.0 * (s - k) - 1.0
+    ki = k.astype(jnp.int32)
     rows = jax.lax.broadcasted_iota(jnp.int32, (p,) + x.shape, 0)
-    onehot = (rows == k.astype(jnp.int32)[None]).astype(x.dtype)
-    return onehot, t, (2.0 * p / span) * inside
+    onehot = (rows == ki[None]).astype(x.dtype)
+    return onehot, ki, t, (2.0 * p / span) * inside
 
 
 def _sum_paths(v):
@@ -175,11 +177,25 @@ def _dot_paths(a, b, prec=None):
                                preferred_element_type=jnp.float32)
 
 
-def _select(cT_step, onehot, prec=None):
-    """(D, P) x (P, 8, L) -> per-path coefficient stacks (D, 8, L)."""
-    return jax.lax.dot_general(cT_step, onehot, (((1,), (0,)), ((), ())),
-                               precision=prec or _PREC,
-                               preferred_element_type=jnp.float32)
+def _select(cT_step, ki):
+    """(D, P) coefficients -> per-path stacks (D, 8, L), selected by the
+    piece index ki (8, L) through a broadcasted-compare ``where`` chain.
+
+    EXACT selection (f32 coefficients pass through untouched) at pure VPU
+    cost: P-1 compare+select ops on (D, 8, L) tiles.  This replaces the
+    round-3 one-hot (D, P) x (P, 8, L) dot_general, whose exactness cost a
+    6-pass HIGHEST MXU contraction in-kernel (Mosaic lowers only DEFAULT /
+    HIGHEST; the XLA path's half-cost bit-exact HIGH is unavailable) — the
+    measured ~15% "select-precision tax" of the round-3 fused A/B
+    (BASELINE.md)."""
+    d, p = cT_step.shape
+    acc = jnp.broadcast_to(cT_step[:, 0][:, None, None], (d,) + ki.shape)
+    for pp in range(1, p):
+        acc = jnp.where(ki[None] == pp,
+                        jnp.broadcast_to(cT_step[:, pp][:, None, None],
+                                         (d,) + ki.shape),
+                        acc)
+    return acc
 
 
 def merton_form_constants(model):
@@ -306,13 +322,13 @@ def make_fused_rollout(model, hidden: int, time_scale: float = 1.0,
                 xs_ref[i] = x[None]
             dwr = dw_ref[i][0]
             jr = j_ref[i][0]
-            onehot, t, _ = _piece_onehot(x, lo_ref[i, 0], hi_ref[i, 0], p_)
-            comp = _clenshaw_k(_select(ccT_ref[i], onehot, prec), t)
+            _, ki, t, _ = _piece_onehot(x, lo_ref[i, 0], hi_ref[i, 0], p_)
+            comp = _clenshaw_k(_select(ccT_ref[i], ki), t)
             _, _, gam = _mlp_fwd(w1c[:, :, None], b1, w2, b2, w3, i, x, jr)
             y = y * (1.0 + r * dt) + gam - comp
-            z = _clenshaw_k(_select(zcT_ref[i], onehot, prec), t)
+            z = _clenshaw_k(_select(zcT_ref[i], ki), t)
             y = y + z * dwr
-            a = _clenshaw_k(_select(pcT_ref[i], onehot, prec), t)
+            a = _clenshaw_k(_select(pcT_ref[i], ki), t)
             if save:
                 ys_ref[i] = y[None]
             e = jnp.exp(drift + sigma * dwr + jr)
@@ -357,12 +373,11 @@ def make_fused_rollout(model, hidden: int, time_scale: float = 1.0,
             yrow = ys_ref[i][0]
             dwr = dw_ref[i][0]
             jr = j_ref[i][0]
-            onehot, t, dtdx = _piece_onehot(x, lo_ref[i, 0], hi_ref[i, 0],
-                                            p_)
-            _, dcd = _clenshaw_k_deriv(_select(ccT_ref[i], onehot, prec), t)
-            a_vals, dad = _clenshaw_k_deriv(_select(pcT_ref[i], onehot, prec),
-                                           t)
-            _, dzd = _clenshaw_k_deriv(_select(zcT_ref[i], onehot, prec), t)
+            onehot, ki, t, dtdx = _piece_onehot(x, lo_ref[i, 0], hi_ref[i, 0],
+                                                p_)
+            _, dcd = _clenshaw_k_deriv(_select(ccT_ref[i], ki), t)
+            a_vals, dad = _clenshaw_k_deriv(_select(pcT_ref[i], ki), t)
+            _, dzd = _clenshaw_k_deriv(_select(zcT_ref[i], ki), t)
             cps, aps, zps = dcd * dtdx, dad * dtdx, dzd * dtdx
             h1, h2 = _mlp_hidden(w1c[:, :, None], b1, w2, b2, i, x, jr)
             s1 = 1.0 - h1 * h1

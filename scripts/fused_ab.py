@@ -20,7 +20,10 @@ Usage:
 Cell syntax: <select_prec>:<head_prec>:<tile>; "none" = module default.
 """
 import argparse
+import sys
 import time
+
+sys.path.insert(0, ".")
 
 import jax
 
