@@ -410,3 +410,38 @@ def test_hoist_requires_chebyshev_interp():
     m = make_merton_default()
     with pytest.raises(ValueError):
         PricingSolver(m, "global", hoist=True)
+
+
+def test_hoist_clamp_fractions_stay_negligible():
+    """Validity envelope of the hoist interval policy (pad_frac=0.15 +
+    boundary clamp): the per-step fraction of coupled paths clamped outside
+    the collocation intervals must stay <1e-3 — including on a deliberately
+    heavy-tailed Merton (sigJ=0.5, lam=6, ~4x the default jump variance and
+    2x the rate) and across the scheme families' distinct table layouts
+    (global BSDE-carried Y, sumlocal shift_next tables).  The intervals are
+    built from the EXACT uncoupled marginals of the same pre-drawn noise,
+    so only the accumulated coupling drift can escape them — this pins that
+    the O(aLin*dt) argument holds, with a diagnostic anyone can rerun on a
+    new parameterization (VERDICT r3 weak #5; jump law:
+    pricingModels.py:57-61)."""
+    import dataclasses
+
+    cheb = CompensatorSpec(x_interp="chebyshev", n_cheb=64)
+    heavy = dataclasses.replace(
+        make_merton_default(jump_sampler="icdf", price_mode="chebyshev"),
+        sigJ=0.5, lam=6.0)
+    for scheme in ("global", "multistep1", "sumlocal2"):
+        solver = PricingSolver(heavy, scheme, compensator=cheb,
+                               hoist=True, hoist_interp="piecewise")
+        params = solver.init_params(jax.random.key(0))
+        fr = solver.hoist_clamp_fractions(params, jax.random.key(1),
+                                          batch=4096)
+        assert fr.shape == (heavy.N,)
+        assert float(fr.max()) < 1e-3, (scheme, float(fr.max()))
+
+
+def test_hoist_clamp_fractions_requires_hoist():
+    solver = PricingSolver(make_merton_default(), "global")
+    with pytest.raises(ValueError):
+        solver.hoist_clamp_fractions(
+            solver.init_params(jax.random.key(0)), jax.random.key(1))
