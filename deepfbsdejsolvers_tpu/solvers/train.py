@@ -113,9 +113,22 @@ def fit(
     if opt_state is None:
         opt_state = optimizer.init(params)
     if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
         from deepfbsdejsolvers_tpu.parallel.data_parallel import (
             make_dp_epoch, make_dp_loss)
 
+        # Replicate (params, opt_state) onto the mesh.  A checkpoint restore
+        # hands back arrays COMMITTED to a single device (orbax restores with
+        # SingleDeviceSharding), and jit refuses to mix a device-0-committed
+        # argument with the mesh-wide shard_map step ("incompatible devices");
+        # fresh inits are uncommitted and pass through at no cost.  This makes
+        # resume-under-mesh equal resume-single-device followed by replication
+        # (tests/test_checkpoint.py::test_resume_is_deterministic_under_mesh).
+        replicated = NamedSharding(mesh, PartitionSpec())
+        params = jax.device_put(params, replicated)
+        opt_state = jax.device_put(opt_state, replicated)
+        key = jax.device_put(key, replicated)
         epoch_fn = make_dp_epoch(loss_fn, optimizer, mesh, num_epoch, data_axis)
         val_fn = (jax.jit(make_dp_loss(val_loss_fn, mesh, data_axis))
                   if val_loss_fn is not None else None)
