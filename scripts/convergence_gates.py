@@ -2,14 +2,20 @@
 """Reproduce the BASELINE.md accuracy-gate matrix on real hardware.
 
 Each gate trains a solver to convergence on the standard budget
-(3 phases x 8 outer epochs x 100 Adam steps, batch 8192, lr 3e-3/1e-3/3e-4)
-and reports |Y0 - oracle| against the model's closed-form/FFT price.
+(cosine-decayed fit, peak lr over `steps` Adam steps, batch 8192) and
+reports |Y0 - oracle| against the model's closed-form/FFT price.
 Runs on whatever jax.devices() provides (TPU ~15 min total; CPU much longer).
+
+The gate matrix is DATA (``build_registry``) so the pytest smoke tier
+(tests/test_gates_smoke.py) can train every config end-to-end at a tiny
+budget in CI — a regression in any gate path (e.g. the sumlocal hoist
+tables) fails CI instead of waiting for the next manual chip run
+(round-4; SURVEY §4 rebuild test plan).
 
 Usage: python scripts/convergence_gates.py [gate ...]
 Gates: merton_speed merton_speed_fused merton_speed_mc merton_direct
        merton_cheb merton_global merton_coupled_direct
-       merton_global_extrapolated vg_direct vg_speed
+       merton_global_extrapolated vg_direct vg_speed vg_coupled_direct
        vg_global_extrapolated vg_half_coupling  (or: all)
 """
 
@@ -49,7 +55,7 @@ def run_gate(name, model, oracle, scheme, batch=8192,
     # 400 steps per outer epoch: fewer host<->device round-trips (the axon
     # tunnel has stalled under high dispatch volume) with the same total
     # budget; the trailing-average window is `tail` outer epochs.
-    num_epoch = 400
+    num_epoch = min(400, steps)
     for seed in range(seeds):
         params = solver.init_params(jax.random.key(seed))
         if warm_y0:
@@ -83,7 +89,7 @@ def run_extrapolated_gate(name, make_model, oracle, compensator, seeds=3,
     import optax
 
     errs, y0s = [], []
-    num_epoch = 400
+    num_epoch = min(400, steps)
     for seed in range(seeds):
         pair = []
         for a in (a_lin / 2, a_lin):
@@ -108,11 +114,11 @@ def run_extrapolated_gate(name, make_model, oracle, compensator, seeds=3,
     return record
 
 
-def main():
-    p = argparse.ArgumentParser()
-    p.add_argument("gates", nargs="*", default=["merton_speed"])
-    args = p.parse_args()
-
+def build_registry():
+    """The gate matrix as data: name -> {kind: "gate"|"extrapolated",
+    args: {...}}.  ``run_entry`` consumes an entry; the pytest smoke tier
+    overrides the budget keys (steps/seeds/batch) without touching the
+    config keys (model/scheme/solver kwargs)."""
     merton = make_merton_default()
     merton_oracle = merton.price_at_origin()
     vg = make_vg_default()
@@ -121,130 +127,158 @@ def main():
     # the round-3 headline speed path: hoisted tables + piecewise evaluator
     speed_kw = dict(compensator=cheb64, hoist=True, hoist_interp="piecewise")
 
-    registry = {
-        # The robust speed-config gate: UNcoupled Merton (aLin=0), Global
-        # scheme with the warm Y0 start — the round-2 study protocol that
-        # passed 5/5 seeds at <= 2.2e-4 (trainable-scalar readout, tight).
-        # The aLin=0.1 coupled configs carry an inherent ±(1-3.5)e-3
-        # scheme-level deviation at any budget (BASELINE.md floor analysis;
-        # removable by aLin extrapolation), and the multistep U(0,x0) net
-        # readout has occasional ±3e-3 outlier seeds even uncoupled — both
-        # are kept as diagnostics, not hard gates.
-        "merton_speed": lambda: run_gate(
-            "merton_speed",
-            make_merton_default(a_lin=0.0, jump_sampler="icdf",
-                                price_mode="chebyshev"),
-            merton_oracle, "global", seeds=3,
-            peak_lr=3e-3, steps=2400, warm_y0=True, **speed_kw),
-        # The same speed-config gate through the fused whole-rollout Pallas
-        # kernels (ops/pallas_rollout.py): forward + hand-adjoint backward
-        # each as ONE kernel.  Gradients match XLA autodiff to 3e-5 rel
-        # (tests/test_pallas_rollout.py), so this gate is the end-to-end
-        # on-hardware confirmation that the fused path trains to the same
-        # accuracy as merton_speed.
-        "merton_speed_fused": lambda: run_gate(
-            "merton_speed_fused",
-            make_merton_default(a_lin=0.0, jump_sampler="icdf",
-                                price_mode="chebyshev"),
-            merton_oracle, "global", seeds=3,
-            peak_lr=3e-3, steps=2400, warm_y0=True, fused_rollout=True,
-            **speed_kw),
-        # The reference-exact MC-5000 compensator LAW through the same
-        # hoisted tables (per-step fresh node draws swept at the collocation
-        # points instead of the full batch — the round-3 fast exact-law
-        # path, 1.40e8 paths*steps/s vs 6.38e5 direct).
-        "merton_speed_mc": lambda: run_gate(
-            "merton_speed_mc",
-            make_merton_default(a_lin=0.0, jump_sampler="icdf",
-                                price_mode="chebyshev"),
-            merton_oracle, "global", seeds=3,
-            peak_lr=3e-3, steps=2400, warm_y0=True,
-            compensator=CompensatorSpec(kind="mc", n_mc=5000,
-                                        x_interp="chebyshev", n_cheb=64),
-            hoist=True, hoist_interp="piecewise"),
-        "merton_multistep_diag": lambda: run_gate(
-            "merton_multistep_diag",
-            make_merton_default(a_lin=0.0, jump_sampler="icdf",
-                                price_mode="chebyshev"),
-            merton_oracle, "multistep1", compensator=cheb64, seeds=3),
-        "merton_coupled_diag": lambda: run_gate(
-            "merton_coupled_diag",
-            make_merton_default(jump_sampler="icdf", price_mode="chebyshev"),
-            merton_oracle, "multistep1", compensator=cheb64, seeds=3),
-        # DIRECT coupled-Global gate, no extrapolation: the round-3
-        # ts-series (scripts/gate_global_study.py n*_ts cells) REFUTED the
-        # round-2 "a ~ 1.5e-3 dt->0 floor" — the coupled bias follows the
-        # strong-Euler law ~0.027/sqrt(N) (3.69/2.77/2.07/1.61/0.70/0.56 e-3
-        # at N = 50/100/200/400/800/1600) and crosses 1e-3 between N=800
-        # (predicted 0.96e-3 — AT the gate, per-seed passes are marginal:
-        # 3/3 in the study draw, 2/3 under this gate's seed protocol) and
-        # N=1600 (predicted 0.68e-3, robustly inside), so the operational
-        # gate runs N=1600.  The time feature is rescaled to the N=50 range
-        # (time_scale=50/N) so net capacity is not the confound (raw-index
-        # features saturate the tanh layer at N>=800, BASELINE.md).
-        # Reference scheme: SolversJumpDiff.py:17-73 at a finer grid than
-        # mainMerton's N=50.
-        "merton_coupled_direct": lambda: run_gate(
-            "merton_coupled_direct",
-            dataclasses.replace(
-                make_merton_default(a_lin=0.1, jump_sampler="icdf",
-                                    price_mode="chebyshev"), N=1600),
-            merton_oracle, "global", seeds=3, peak_lr=3e-3, steps=2400,
-            warm_y0=True, time_scale=50.0 / 1600.0, **speed_kw),
-        # Gate-closing technique for the COUPLED Global scheme at the
-        # reference's own N=50: the coupling-rectification bias is linear in
-        # aLin (BASELINE.md floor analysis), so 2*Y0(aLin/2) - Y0(aLin)
-        # cancels it.
-        "merton_global_extrapolated": lambda: run_extrapolated_gate(
-            "merton_global_extrapolated",
-            lambda a: make_merton_default(a_lin=a, jump_sampler="icdf",
-                                          price_mode="chebyshev"),
-            merton_oracle, cheb64, seeds=3),
-        # VG twins of the coupled-Global gates (BASELINE.md VG study: the
-        # same linear coupling-rectification bias; Richardson readout landed
-        # 2.0e-7 from the FFT oracle on seed means).
-        "vg_global_extrapolated": lambda: run_extrapolated_gate(
-            "vg_global_extrapolated",
-            lambda a: dataclasses.replace(
+    g = {}
+    # The robust speed-config gate: UNcoupled Merton (aLin=0), Global
+    # scheme with the warm Y0 start — the round-2 study protocol that
+    # passed 5/5 seeds at <= 2.2e-4 (trainable-scalar readout, tight).
+    # The aLin=0.1 coupled configs carry an inherent ±(1-3.5)e-3
+    # scheme-level deviation at any budget (BASELINE.md floor analysis;
+    # removable by aLin extrapolation), and the multistep U(0,x0) net
+    # readout has occasional ±3e-3 outlier seeds even uncoupled — both
+    # are kept as diagnostics, not hard gates.
+    g["merton_speed"] = dict(
+        model=make_merton_default(a_lin=0.0, jump_sampler="icdf",
+                                  price_mode="chebyshev"),
+        oracle=merton_oracle, scheme="global", seeds=3,
+        peak_lr=3e-3, steps=2400, warm_y0=True, **speed_kw)
+    # The same speed-config gate through the fused whole-rollout Pallas
+    # kernels (ops/pallas_rollout.py): forward + hand-adjoint backward
+    # each as ONE kernel.  Gradients match XLA autodiff to 3e-5 rel
+    # (tests/test_pallas_rollout.py), so this gate is the end-to-end
+    # on-hardware confirmation that the fused path trains to the same
+    # accuracy as merton_speed.
+    g["merton_speed_fused"] = dict(
+        model=make_merton_default(a_lin=0.0, jump_sampler="icdf",
+                                  price_mode="chebyshev"),
+        oracle=merton_oracle, scheme="global", seeds=3,
+        peak_lr=3e-3, steps=2400, warm_y0=True, fused_rollout=True,
+        **speed_kw)
+    # The reference-exact MC-5000 compensator LAW through the same
+    # hoisted tables (per-step fresh node draws swept at the collocation
+    # points instead of the full batch — the round-3 fast exact-law
+    # path, 1.40e8 paths*steps/s vs 6.38e5 direct).
+    g["merton_speed_mc"] = dict(
+        model=make_merton_default(a_lin=0.0, jump_sampler="icdf",
+                                  price_mode="chebyshev"),
+        oracle=merton_oracle, scheme="global", seeds=3,
+        peak_lr=3e-3, steps=2400, warm_y0=True,
+        compensator=CompensatorSpec(kind="mc", n_mc=5000,
+                                    x_interp="chebyshev", n_cheb=64),
+        hoist=True, hoist_interp="piecewise")
+    g["merton_multistep_diag"] = dict(
+        model=make_merton_default(a_lin=0.0, jump_sampler="icdf",
+                                  price_mode="chebyshev"),
+        oracle=merton_oracle, scheme="multistep1", compensator=cheb64,
+        seeds=3)
+    g["merton_coupled_diag"] = dict(
+        model=make_merton_default(jump_sampler="icdf",
+                                  price_mode="chebyshev"),
+        oracle=merton_oracle, scheme="multistep1", compensator=cheb64,
+        seeds=3)
+    # DIRECT coupled-Global gate, no extrapolation: the round-3
+    # ts-series (scripts/gate_global_study.py n*_ts cells) REFUTED the
+    # round-2 "a ~ 1.5e-3 dt->0 floor" — the coupled bias follows the
+    # strong-Euler law ~0.027/sqrt(N) (3.69/2.77/2.07/1.61/0.70/0.56 e-3
+    # at N = 50/100/200/400/800/1600) and crosses 1e-3 between N=800
+    # (predicted 0.96e-3 — AT the gate, per-seed passes are marginal:
+    # 3/3 in the study draw, 2/3 under this gate's seed protocol) and
+    # N=1600 (predicted 0.68e-3, robustly inside), so the operational
+    # gate runs N=1600.  The time feature is rescaled to the N=50 range
+    # (time_scale=50/N) so net capacity is not the confound (raw-index
+    # features saturate the tanh layer at N>=800, BASELINE.md).
+    # Reference scheme: SolversJumpDiff.py:17-73 at a finer grid than
+    # mainMerton's N=50.
+    g["merton_coupled_direct"] = dict(
+        model=dataclasses.replace(
+            make_merton_default(a_lin=0.1, jump_sampler="icdf",
+                                price_mode="chebyshev"), N=1600),
+        oracle=merton_oracle, scheme="global", seeds=3, peak_lr=3e-3,
+        steps=2400, warm_y0=True, time_scale=50.0 / 1600.0, **speed_kw)
+    # The VG twin (round-4 study, scripts/gate_vg_study.py n*_ts cells):
+    # mean |Y0-FFT| = 1.23/0.97/0.33/0.31/0.53/1.62 e-3 at
+    # N = 30/60/120/240/480/960 — the coupled bias decays toward the
+    # strong-Euler sqrt(N) law down to a knee at N ~ 120-240, then
+    # RISES (unlike Merton).  Hoisted-table fit error is ruled out as
+    # the cause (n960_nohoist attribution cell: 1.65e-3 with hoist OFF
+    # vs 1.62e-3 hoisted) — see BASELINE.md round-4 section.  The
+    # operational gate runs N=240: the 3/3 direct PASS (max 5.5e-4) at
+    # the knee.
+    g["vg_coupled_direct"] = dict(
+        model=dataclasses.replace(
+            make_vg_default(a_lin=0.1), price_eval="chebyshev", N=240),
+        oracle=vg_oracle, scheme="global", seeds=3, peak_lr=3e-3,
+        steps=2400, warm_y0=True, time_scale=30.0 / 240.0, **speed_kw)
+    # Reference-faithful numerics on the same budget.
+    g["merton_direct"] = dict(
+        model=merton, oracle=merton_oracle, scheme="multistep1",
+        compensator=CompensatorSpec())
+    # Chebyshev compensator alone. BASELINE.md: 4.3e-4.
+    g["merton_cheb"] = dict(
+        model=make_merton_default(jump_sampler="icdf"),
+        oracle=merton_oracle, scheme="multistep1", compensator=cheb64)
+    # Global scheme (trainable Y0) — optimization-dominated, see
+    # BASELINE.md note.
+    g["merton_global"] = dict(
+        model=make_merton_default(jump_sampler="icdf"),
+        oracle=merton_oracle, scheme="global", compensator=cheb64)
+    # VG against the Carr-Madan FFT price.
+    g["vg_direct"] = dict(
+        model=vg, oracle=vg_oracle, scheme="global",
+        compensator=CompensatorSpec(n_hermite=5, n_laguerre=8))
+    # The shipped bench.py --model vg config: collocated price_eval +
+    # the iCDF subordinator sampler (the gamma rejection loop was ~77%
+    # of VG device time; icdf is law-exact to the table fit — see
+    # models/variance_gamma.py and tests/test_fast_paths.py).
+    g["vg_speed"] = dict(
+        model=dataclasses.replace(vg, price_eval="chebyshev",
+                                  jump_sampler="icdf"),
+        oracle=vg_oracle, scheme="global", **speed_kw)
+    # aLin=0.05 coupled VG row — passed 5/5 in the study (+0.73e-3).
+    g["vg_half_coupling"] = dict(
+        model=dataclasses.replace(make_vg_default(a_lin=0.05),
+                                  price_eval="chebyshev"),
+        oracle=vg_oracle, scheme="global", compensator=cheb64, seeds=3,
+        peak_lr=3e-3, steps=2400, warm_y0=True)
+
+    registry = {name: {"kind": "gate", "args": args}
+                for name, args in g.items()}
+    # Gate-closing technique for the COUPLED Global scheme at the
+    # reference's own N: the coupling-rectification bias is linear in
+    # aLin (BASELINE.md floor analysis), so 2*Y0(aLin/2) - Y0(aLin)
+    # cancels it.  VG twin landed 2.0e-7 from the FFT oracle on seed
+    # means (BASELINE.md VG study).
+    registry["merton_global_extrapolated"] = {
+        "kind": "extrapolated",
+        "args": dict(
+            make_model=lambda a: make_merton_default(
+                a_lin=a, jump_sampler="icdf", price_mode="chebyshev"),
+            oracle=merton_oracle, compensator=cheb64, seeds=3)}
+    registry["vg_global_extrapolated"] = {
+        "kind": "extrapolated",
+        "args": dict(
+            make_model=lambda a: dataclasses.replace(
                 make_vg_default(a_lin=a), price_eval="chebyshev"),
-            vg_oracle, cheb64, seeds=3),
-        # aLin=0.05 coupled VG row — passed 5/5 in the study (+0.73e-3).
-        "vg_half_coupling": lambda: run_gate(
-            "vg_half_coupling",
-            dataclasses.replace(make_vg_default(a_lin=0.05),
-                                price_eval="chebyshev"),
-            vg_oracle, "global", compensator=cheb64, seeds=3,
-            peak_lr=3e-3, steps=2400, warm_y0=True),
-        # Reference-faithful numerics on the same budget.
-        "merton_direct": lambda: run_gate(
-            "merton_direct", merton, merton_oracle, "multistep1",
-            compensator=CompensatorSpec()),
-        # Chebyshev compensator alone. BASELINE.md: 4.3e-4.
-        "merton_cheb": lambda: run_gate(
-            "merton_cheb", make_merton_default(jump_sampler="icdf"),
-            merton_oracle, "multistep1", compensator=cheb64),
-        # Global scheme (trainable Y0) — optimization-dominated, see
-        # BASELINE.md note.
-        "merton_global": lambda: run_gate(
-            "merton_global", make_merton_default(jump_sampler="icdf"),
-            merton_oracle, "global", compensator=cheb64),
-        # VG against the Carr-Madan FFT price.
-        "vg_direct": lambda: run_gate(
-            "vg_direct", vg, vg_oracle, "global",
-            compensator=CompensatorSpec(n_hermite=5, n_laguerre=8)),
-        # The shipped bench.py --model vg config: collocated price_eval +
-        # the iCDF subordinator sampler (the gamma rejection loop was ~77%
-        # of VG device time; icdf is law-exact to the table fit — see
-        # models/variance_gamma.py and tests/test_fast_paths.py).
-        "vg_speed": lambda: run_gate(
-            "vg_speed",
-            dataclasses.replace(vg, price_eval="chebyshev",
-                                jump_sampler="icdf"),
-            vg_oracle, "global", **speed_kw),
-    }
+            oracle=vg_oracle, compensator=cheb64, seeds=3)}
+    return registry
+
+
+def run_entry(name, entry, **overrides):
+    """Run one registry entry with budget-key overrides (smoke tier)."""
+    args = dict(entry["args"])
+    args.update(overrides)
+    if entry["kind"] == "extrapolated":
+        return run_extrapolated_gate(name, **args)
+    return run_gate(name, **args)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("gates", nargs="*", default=["merton_speed"])
+    args = p.parse_args()
+    registry = build_registry()
     gates = args.gates if args.gates != ["all"] else list(registry)
     for g in gates:
-        registry[g]()
+        run_entry(g, registry[g])
 
 
 if __name__ == "__main__":

@@ -28,11 +28,15 @@ CHEB64 = CompensatorSpec(x_interp="chebyshev", n_cheb=64,
 
 
 def run_once(seed: int, *, batch=8192, steps=2400, tail_epochs=6,
-             peak_lr=3e-3, a_lin=0.1, warm_y0=True):
+             peak_lr=3e-3, a_lin=0.1, warm_y0=True, n_steps=None,
+             solver_kw=None):
     model = dataclasses.replace(make_vg_default(a_lin=a_lin),
                                 price_eval="chebyshev")
+    if n_steps is not None:
+        model = dataclasses.replace(model, N=n_steps)
     oracle = model.price_at_origin()
-    solver = PricingSolver(model, "global", compensator=CHEB64)
+    solver = PricingSolver(model, "global", compensator=CHEB64,
+                           **(solver_kw or {}))
     params = solver.init_params(jax.random.key(seed))
     if warm_y0:
         m0 = dataclasses.replace(make_vg_default(a_lin=0.0),
@@ -60,11 +64,37 @@ def run_once(seed: int, *, batch=8192, steps=2400, tail_epochs=6,
     return y0, abs(y0 - oracle), oracle
 
 
+def _ts_cell(n):
+    """VG N-resolution cell (round-4 study, the Merton n*_ts twin —
+    scripts/gate_global_study.py): coupled aLin=0.1 Global at a finer time
+    grid, time feature rescaled to the reference's N=30 range so net
+    capacity is not the confound, hoisted piecewise tables to keep big-N
+    affordable.  Adjudicates c/sqrtN (strong-Euler rectification, NO floor)
+    vs a+b/N (floor) for the VG coupled bias, as Merton's did."""
+    return dict(tail_epochs=6, warm_y0=True, n_steps=n,
+                solver_kw=dict(time_scale=30.0 / n, hoist=True,
+                               hoist_interp="piecewise"))
+
+
 VARIANTS = {
     "std": dict(),
     "long": dict(steps=4800, tail_epochs=12),
     "alin005": dict(a_lin=0.05),
     "alin0": dict(a_lin=0.0),
+    "n30_ts": _ts_cell(30),
+    "n60_ts": _ts_cell(60),
+    "n120_ts": _ts_cell(120),
+    "n240_ts": _ts_cell(240),
+    "n480_ts": _ts_cell(480),
+    "n960_ts": _ts_cell(960),
+    "n1920_ts": _ts_cell(1920),
+    # Attribution cell for the N=960 error RISE (all seeds biased LOW,
+    # mean 1.62e-3 vs 0.31e-3 at N=240): same grid, hoist OFF — if the
+    # bias vanishes, the per-step hoisted-table fit error accumulating
+    # linearly into the pure-jump Y recursion is the cause (there is no
+    # dW term to dominate it at small dt).
+    "n960_nohoist": dict(tail_epochs=6, warm_y0=True, n_steps=960,
+                         solver_kw=dict(time_scale=30.0 / 960.0)),
 }
 
 

