@@ -61,7 +61,11 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
-TILE = 1024
+# Paths per kernel tile.  4096 beats 1024 by ~16% in the round-4 A/B
+# (scripts/fused_ab.py: 3.18e8 vs 2.74e8 at the shipped HIGHEST heads,
+# 4.16e8 vs 3.21e8 at DEFAULT heads) — wider tiles amortize the serial
+# time-step loop's per-iteration overhead across more batch ILP.
+TILE = 4096
 _R = 8          # sublane rows of a path tile
 
 # All in-kernel dot_generals carry an explicit precision, SPLIT BY ROLE to

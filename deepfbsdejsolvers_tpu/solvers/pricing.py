@@ -922,9 +922,12 @@ class PricingSolver:
                 and len(h) == 2 and h[0] == h[1] and h[0] <= 128
                 and batch % TILE == 0
                 # four (N, TILE) f32 buffers (dw, j, xs, ys) live in VMEM
-                # per program (~16 KB/step + double-buffering headroom);
-                # N=256 keeps the kernel under ~8 MB of the ~16 MB VMEM
-                and self.model.N <= 256
+                # per program; the validated envelope is N*TILE <= 256*1024
+                # (round-3 bound N=256 at TILE=1024, ~4 MB of buffers in
+                # the ~16 MB VMEM; scales inversely when TILE changes —
+                # the round-4 shipped TILE=4096 admits N <= 64, which
+                # covers the N=50 reference grid the kernel exists for)
+                and self.model.N * TILE <= 256 * 1024
                 and merton_form_constants(self.model) is not None)
 
     def _loss_global_fused(self, batch):

@@ -33,6 +33,15 @@ pytestmark = pytest.mark.full  # opt-in instrument (measured-slower, kept as evi
 CHEB64 = CompensatorSpec(x_interp="chebyshev", n_cheb=64)
 
 
+@pytest.fixture(autouse=True)
+def _small_tile(monkeypatch):
+    """Pin the kernel tile to the tests' batch sizes.  The shipped TILE is
+    4096 (round-4 A/B: +16% over 1024 on-chip); equality semantics are
+    tile-independent, and interpret mode is much faster on small tiles."""
+    import deepfbsdejsolvers_tpu.ops.pallas_rollout as pr
+    monkeypatch.setattr(pr, "TILE", 1024)
+
+
 def _pair(batch=1024, n=3, a_lin=0.1, **kw):
     model = make_merton_default(a_lin=a_lin, jump_sampler="icdf",
                                 price_mode="chebyshev")
