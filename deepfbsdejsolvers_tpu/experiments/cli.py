@@ -170,7 +170,7 @@ def _add_mfg_flags(p: argparse.ArgumentParser, defaults: MFGPoAConfig | MFGCompa
                         "within the reference budget's Adam travel bound)")
     p.add_argument("--fast", action="store_true",
                    help="TPU speed config: icdf Cox jump sampler + "
-                        "scan_chunk=16 (BASELINE.md MFG profile note: +7-8% "
+                        "scan_chunk=16 (BASELINE.md MFG profile note: +7-8%% "
                         "from chunking plus the sampler's 3-11x at large "
                         "batch). Same laws/math; tested vs the exact sampler "
                         "and the flat scan in tests/.")

@@ -128,3 +128,16 @@ def test_mfg_poa_pipeline_data_parallel(tmp_path):
     assert len(res.cells) == 1
     assert np.isfinite(res.cells[0].poa)
     assert os.path.exists(tmp_path / "poa_table.csv")
+
+
+@pytest.mark.parametrize("sub", ["merton", "vg", "mfg-compare", "mfg-poa",
+                                 "bench"])
+def test_cli_help_renders(sub):
+    """--help must render for every subcommand: the defaults-appending
+    formatter %-interpolates help strings, so a bare '%' in any help text
+    crashes argparse (it did, for every MFG subcommand, until round 4)."""
+    from deepfbsdejsolvers_tpu.experiments.cli import build_parser
+
+    with pytest.raises(SystemExit) as exc:
+        build_parser().parse_args([sub, "--help"])
+    assert exc.value.code == 0
