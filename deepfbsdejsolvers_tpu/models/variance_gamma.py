@@ -209,8 +209,13 @@ class VGModel:
         """One step of the coupled pure-jump forward SDE (pricingModels.py:184-185).
         Note: no Brownian term — the pure-jump regime drops dW.  ``price``
         optionally supplies a precomputed A(i, X) (hoisted solver tables)."""
+        from deepfbsdejsolvers_tpu.ops.numerics import mul_exp
+
         a = self.price(i, x) if price is None else price
-        return x * jnp.exp((self.r - self._correction) * self._dt + jump) \
+        # mul_exp, not x*exp(·): TPU f32 exp bias compounds linearly in N
+        # (ops/numerics.py; this was the whole V-shaped N=960 error rise,
+        # BASELINE.md round-4 VG study).
+        return mul_exp(x, (self.r - self._correction) * self._dt + jump) \
             + self.coupling(y - a) * self._dt
 
     def uncoupled_log_increments(self, dw: jax.Array, jump: jax.Array) -> jax.Array:

@@ -61,6 +61,8 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
+from deepfbsdejsolvers_tpu.ops.numerics import expm1_acc
+
 # Paths per kernel tile.  4096 beats 1024 by ~16% in the round-4 A/B
 # (scripts/fused_ab.py: 3.18e8 vs 2.74e8 at the shipped HIGHEST heads,
 # 4.16e8 vs 3.21e8 at DEFAULT heads) — wider tiles amortize the serial
@@ -335,7 +337,9 @@ def make_fused_rollout(model, hidden: int, time_scale: float = 1.0,
             a = _clenshaw_k(_select(pcT_ref[i], ki), t)
             if save:
                 ys_ref[i] = y[None]
-            e = jnp.exp(drift + sigma * dwr + jr)
+            # 1 + expm1_acc, not exp: matches the XLA path's mul_exp
+            # (ops/numerics.py — TPU f32 exp walk-bias fix)
+            e = 1.0 + expm1_acc(drift + sigma * dwr + jr)
             x = x * e + (a_lin * jnp.abs(y - a)) * dt
             return (x, y)
 
@@ -397,7 +401,7 @@ def make_fused_rollout(model, hidden: int, time_scale: float = 1.0,
             u = yrow - a_vals
             ub = xb * (a_lin * jnp.sign(u)) * dt
             yb = yb + ub
-            e = jnp.exp(drift + sigma * dwr + jr)
+            e = 1.0 + expm1_acc(drift + sigma * dwr + jr)
             gbar = yb
             xb = (xb * e - gbar * cps + gbar * dwr * zps - ub * aps
                   + gbar * gx)

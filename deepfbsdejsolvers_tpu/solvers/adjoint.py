@@ -49,6 +49,7 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
+from deepfbsdejsolvers_tpu.ops.numerics import expm1_acc, mul_exp
 from deepfbsdejsolvers_tpu.ops.piecewise import pw_eval, pw_eval_with_deriv
 
 
@@ -77,8 +78,10 @@ def make_global_adjoint_rollout(model, apply_gam: Callable):
             z = pw_eval(row["zc"], x, row["lo"], row["hi"])
             y = y + z * row["dw"]
             a = pw_eval(row["pc"], x, row["lo"], row["hi"])
-            x_new = (x * jnp.exp(model.uncoupled_log_increments(row["dw"],
-                                                                row["j"]))
+            # mul_exp matches the production model.step arithmetic
+            # (ops/numerics.py: TPU f32 exp walk bias)
+            x_new = (mul_exp(x, model.uncoupled_log_increments(row["dw"],
+                                                               row["j"]))
                      + model.coupling(y - a) * dt)
             return (x_new, y), (x, y)
 
@@ -100,7 +103,8 @@ def make_global_adjoint_rollout(model, apply_gam: Callable):
         steps = jnp.arange(n)[:, None]
 
         # ---- batched coefficient recomputation: one (N*B) pass, no scan
-        e_fac = jnp.exp(model.uncoupled_log_increments(dw, j))      # (N, B)
+        e_fac = 1.0 + expm1_acc(
+            model.uncoupled_log_increments(dw, j))                  # (N, B)
         ev = jax.vmap(pw_eval_with_deriv)
         _, cps = ev(tables["cc"], xs, tables["lo"], tables["hi"])
         a_vals, aps = ev(tables["pc"], xs, tables["lo"], tables["hi"])
