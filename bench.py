@@ -25,7 +25,7 @@ import time
 
 def build(batch: int, compensator: str, parity: bool, model_name: str = "merton",
           sweep: str = None, adjoint: bool = False, fused: bool = False,
-          fused_precision: str = None):
+          fused_precision: str = None, scheme: str = "global"):
     import jax
 
     from deepfbsdejsolvers_tpu.models.merton import make_merton_default
@@ -42,7 +42,7 @@ def build(batch: int, compensator: str, parity: bool, model_name: str = "merton"
         model = make_vg_default()
         if parity:
             solver = PricingSolver(
-                model, "global", compensator=CompensatorSpec(kind=compensator))
+                model, scheme, compensator=CompensatorSpec(kind=compensator))
         else:
             # VG speed config: collocate the compensator AND the FFT-table
             # price interpolation (per-path gathers were the bottleneck:
@@ -63,7 +63,7 @@ def build(batch: int, compensator: str, parity: bool, model_name: str = "merton"
             model = dataclasses.replace(model, price_eval="chebyshev",
                                         jump_sampler="icdf")
             solver = PricingSolver(
-                model, "global",
+                model, scheme,
                 compensator=CompensatorSpec(kind=compensator,
                                             x_interp="chebyshev", n_cheb=64),
                 hoist=True, hoist_interp="piecewise", scan_chunk=2)
@@ -100,7 +100,7 @@ def build(batch: int, compensator: str, parity: bool, model_name: str = "merton"
             sweep = "pallas" if on_tpu else "xla"
         model = make_merton_default()
         solver = PricingSolver(
-            model, "global", compensator=CompensatorSpec(kind=compensator),
+            model, scheme, compensator=CompensatorSpec(kind=compensator),
             sweep_impl=sweep)
     else:
         # speed config (accuracy-gated in tests/test_chebyshev.py /
@@ -133,7 +133,7 @@ def build(batch: int, compensator: str, parity: bool, model_name: str = "merton"
         # measured merton_speed_mc gate FAIL at 5.7e-3 mean vs 2.1e-4 for
         # XLA-built tables (BASELINE.md MC-mode profile note).
         solver = PricingSolver(
-            model, "global",
+            model, scheme,
             compensator=CompensatorSpec(kind=compensator,
                                         x_interp="chebyshev", n_cheb=64),
             hoist=True, hoist_interp="piecewise", scan_chunk=2,
@@ -150,14 +150,14 @@ def measure(batch: int, inner: int, rounds: int, compensator: str,
             parity: bool = False, model_name: str = "merton",
             sweep: str = None, rng: str = "threefry",
             adjoint: bool = False, fused: bool = False,
-            fused_precision: str = None) -> dict:
+            fused_precision: str = None, scheme: str = "global") -> dict:
     import jax
 
     from deepfbsdejsolvers_tpu.solvers.train import make_epoch_fn
 
     model, solver, params, optimizer, opt_state, loss_fn = build(
         batch, compensator, parity, model_name, sweep, adjoint, fused,
-        fused_precision)
+        fused_precision, scheme)
     epoch = make_epoch_fn(loss_fn, optimizer, inner)
     # "rbg": hardware-counter PRNG — ~+10% throughput at 2^17 (threefry's
     # per-draw ALU work is a real cost in this RNG-heavy loop); kept opt-in
@@ -250,6 +250,14 @@ def main():
                    default="merton",
                    help="secondary workloads: VG pure-jump pricing (N=30) or "
                         "the coupled MFG smart-grid system (N=96)")
+    p.add_argument("--scheme", default="global",
+                   choices=["global", "multistep1", "multistep2", "sumlocal1",
+                            "sumlocal2", "sumlocal_reg", "multistep_reg"],
+                   help="pricing training scheme (SolversJumpDiff.py:75-513 "
+                        "variants); the headline metric is the global scheme, "
+                        "the others record the reference's full method sweep "
+                        "(mainMerton.py:79-118) — see scripts/"
+                        "scheme_throughput.py for the recorded table")
     p.add_argument("--parity", action="store_true",
                    help="reference-faithful numerics (f32, exact sampler, "
                         "49-node/MC sweep) instead of the speed config")
@@ -294,6 +302,9 @@ def main():
     if args.sweep and args.model in ("vg", "mfg"):
         p.error("--sweep applies only to --model merton (the vg/mfg "
                 "builders take no sweep implementation)")
+    if args.scheme != "global" and args.model == "mfg":
+        p.error("--scheme applies to the pricing models (merton/vg); the "
+                "MFG workload benches its global scheme")
 
     if os.environ.get(_CHILD_ENV) != "1" and not args.anchor:
         sys.exit(_run_with_watchdog(sys.argv[1:]))
@@ -318,15 +329,17 @@ def main():
 
     res = measure(args.batch, args.inner, args.rounds, args.compensator,
                   args.parity, args.model, args.sweep, args.rng, args.adjoint,
-                  args.fused, args.fusedPrecision)
+                  args.fused, args.fusedPrecision, args.scheme)
     vs = None
-    if args.model == "merton" and os.path.exists(ANCHOR_FILE):
+    if (args.model == "merton" and args.scheme == "global"
+            and os.path.exists(ANCHOR_FILE)):
         with open(ANCHOR_FILE) as f:
             anchor = json.load(f)
         vs = res["paths_steps_per_sec"] / anchor["anchor_paths_steps_per_sec"]
     n_steps = {"merton": 50, "vg": 30, "mfg": 96}[args.model]
+    scheme_tag = "global" if args.model == "mfg" else args.scheme
     print(json.dumps({
-        "metric": f"{args.model}_global_train_throughput",
+        "metric": f"{args.model}_{scheme_tag}_train_throughput",
         "value": res["paths_steps_per_sec"],
         "unit": f"paths*steps/sec/chip ({args.model} N={n_steps}, "
                 f"batch 2^{args.batch.bit_length() - 1})",

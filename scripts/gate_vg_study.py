@@ -64,16 +64,22 @@ def run_once(seed: int, *, batch=8192, steps=2400, tail_epochs=6,
     return y0, abs(y0 - oracle), oracle
 
 
-def _ts_cell(n):
+def _ts_cell(n, width=None):
     """VG N-resolution cell (round-4 study, the Merton n*_ts twin —
     scripts/gate_global_study.py): coupled aLin=0.1 Global at a finer time
     grid, time feature rescaled to the reference's N=30 range so net
     capacity is not the confound, hoisted piecewise tables to keep big-N
     affordable.  Adjudicates c/sqrtN (strong-Euler rectification, NO floor)
-    vs a+b/N (floor) for the VG coupled bias, as Merton's did."""
-    return dict(tail_epochs=6, warm_y0=True, n_steps=n,
-                solver_kw=dict(time_scale=30.0 / n, hoist=True,
-                               hoist_interp="piecewise"))
+    vs a+b/N (floor) for the VG coupled bias, as Merton's did.
+
+    ``width`` widens BOTH heads from the reference's (21, 21) — the
+    round-5 capacity study: the round-4 +0.8-1.1e-3 plateau at N>=480 was
+    attributed to net-approximation-error rectification through the
+    coupling, which a bigger head should shrink (VERDICT r4 item 3)."""
+    kw = dict(time_scale=30.0 / n, hoist=True, hoist_interp="piecewise")
+    if width is not None:
+        kw["hidden"] = (width, width)
+    return dict(tail_epochs=6, warm_y0=True, n_steps=n, solver_kw=kw)
 
 
 VARIANTS = {
@@ -95,6 +101,13 @@ VARIANTS = {
     # dW term to dominate it at small dt).
     "n960_nohoist": dict(tail_epochs=6, warm_y0=True, n_steps=960,
                          solver_kw=dict(time_scale=30.0 / 960.0)),
+    # round-5 capacity study (VERDICT r4 item 3)
+    "n240_w64": _ts_cell(240, 64),
+    "n480_w64": _ts_cell(480, 64),
+    "n960_w64": _ts_cell(960, 64),
+    "n240_w128": _ts_cell(240, 128),
+    "n480_w128": _ts_cell(480, 128),
+    "n960_w128": _ts_cell(960, 128),
 }
 
 

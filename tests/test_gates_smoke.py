@@ -53,6 +53,8 @@ GATE_NAMES = [
     "vg_coupled_direct", "merton_direct", "merton_cheb", "merton_global",
     "vg_direct", "vg_speed", "vg_half_coupling",
     "merton_global_extrapolated", "vg_global_extrapolated",
+    "mfg_lq_global", "mfg_lq_multistep", "mfg_lq_sumlocal",
+    "mfg_lq_sumlocal_reg", "mfg_lq_multistep_reg", "mfg_consensus",
 ]
 
 # Per-gate smoke budgets.  Warm-started gates begin at an MC estimate of
@@ -67,6 +69,12 @@ _BUDGET = dict(steps=300, seeds=1, batch=256, tail=4)
 
 
 def _per_gate(cg):
+    # The MFG entries run the N=96 coupled two-net scan — 2-4x the Merton
+    # step cost — and their oracle sits at -48 (vs the pricing ~0.14), so
+    # the smoke assertion is RELATIVE progress, not the 5e-2 absolute bar
+    # (see test_gate_config_trains).  The consensus entry trains two
+    # schemes; its smoke role is purely does-the-path-run.
+    mfg_lq = dict(steps=120, batch=128, seeds=1, warm_batch=2048)
     return {
         "merton_coupled_direct": dict(steps=60),
         "vg_coupled_direct": dict(steps=60),
@@ -74,6 +82,13 @@ def _per_gate(cg):
             steps=60,
             compensator=cg.CompensatorSpec(kind="mc", n_mc=500,
                                            x_interp="chebyshev", n_cheb=64)),
+        "mfg_lq_global": mfg_lq,
+        "mfg_lq_multistep": mfg_lq,
+        "mfg_lq_sumlocal": mfg_lq,
+        "mfg_lq_sumlocal_reg": mfg_lq,
+        "mfg_lq_multistep_reg": mfg_lq,
+        "mfg_consensus": dict(steps=60, batch=128, cost_batch=1024,
+                              seeds=1, warm_batch=2048),
     }
 
 
@@ -85,6 +100,20 @@ def test_gate_names_match(registry):
 def test_gate_config_trains(name, cg, registry):
     overrides = {**_BUDGET, **_per_gate(cg).get(name, {})}
     record = cg.run_entry(name, registry[name], **overrides)
+    if registry[name]["kind"] == "mfg_consensus":
+        # does-the-path-run check: both schemes trained, costs finite
+        assert np.isfinite(record["y0_hat_spread"]), (name, record)
+        assert np.isfinite(record["cost_hat_spread"]), (name, record)
+        return
+    if registry[name]["kind"] == "mfg_lq":
+        # relative-progress check: the readout moved from ~0 toward the
+        # -48.3 oracle and did not diverge (warm-started global lands
+        # well inside; cold feedback nets cover part of the distance in
+        # 120 steps)
+        err = record["rel_error"]
+        assert np.isfinite(err), (name, record)
+        assert err < record["init_rel_error"] - 0.05, (name, record)
+        return
     err = record["abs_error"]
     assert np.isfinite(err), (name, record)
     assert err < 5e-2, (name, record)
