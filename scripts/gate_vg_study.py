@@ -114,12 +114,16 @@ VARIANTS = {
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--seeds", type=int, default=5)
+    p.add_argument("--first-seed", type=int, default=0,
+                   help="run seeds [first, first+seeds) — lets a driver "
+                        "wrap each seed in its own timeout-bounded process "
+                        "(the axon tunnel stalls long multi-fit runs)")
     p.add_argument("--variants", nargs="*", default=list(VARIANTS))
     args = p.parse_args()
     summary = {}
     for name in args.variants:
         errs, y0s = [], []
-        for seed in range(args.seeds):
+        for seed in range(args.first_seed, args.first_seed + args.seeds):
             y0, err, oracle = run_once(seed, **VARIANTS[name])
             errs.append(err)
             y0s.append(y0)

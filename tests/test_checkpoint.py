@@ -77,6 +77,7 @@ def test_resume_is_deterministic(tmp_path):
     assert tree_allclose(res_full.params, res_resumed.params)
 
 
+@pytest.mark.full
 def test_resume_is_deterministic_under_mesh(tmp_path):
     """Resume invariance must also hold on the SPMD path (round 4, VERDICT
     r3 item 7: resume was certified single-device only): training 3 outer

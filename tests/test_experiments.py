@@ -49,6 +49,7 @@ def test_vg_pipeline_smoke():
     assert res.reference_price > 0
 
 
+@pytest.mark.full
 def test_mfg_comparison_pipeline(tmp_path):
     cfg = MFGComparisonConfig(
         n_epoch_ext=1, n_epoch=2, batch_size=16, nb_days=1,
@@ -67,6 +68,7 @@ def test_mfg_comparison_pipeline(tmp_path):
     assert (tmp_path / "mfg_convergence.png").exists()
 
 
+@pytest.mark.full
 def test_mfg_poa_pipeline(tmp_path):
     cfg = MFGPoAConfig(
         n_epoch_ext=1, n_epoch=2, batch_size=16, nb_days=1,
@@ -113,6 +115,7 @@ def test_cli_parser_round2_flags():
     assert a.dataParallel
 
 
+@pytest.mark.full
 def test_mfg_poa_pipeline_data_parallel(tmp_path):
     """End-to-end mfg-poa --dataParallel on the virtual 8-device mesh
     (round 4, VERDICT r3 item 7): the full pipeline — coupled training,

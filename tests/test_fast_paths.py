@@ -104,6 +104,7 @@ def test_vg_icdf_gamma_table_fit_error():
     assert g_fit.min() > -1e-6  # pre-clamp wiggle stays negligible
 
 
+@pytest.mark.full  # covered end-to-end by the vg_speed gate smoke
 def test_vg_icdf_speed_config_trains(rng_key):
     """End-to-end: the VG speed stack with the iCDF subordinator sampler
     (bench.py --model vg) reduces the loss from init."""
@@ -171,6 +172,7 @@ def test_bf16_compute_loss_agrees(rng_key):
     assert losses["bf16"] == pytest.approx(losses["f32"], rel=5e-3)
 
 
+@pytest.mark.full  # covered end-to-end by the merton_speed gate smoke
 def test_fast_config_trains(rng_key):
     """End-to-end: the full speed stack (table pricer + icdf sampler + 16-node
     quadrature + bf16) still reduces the loss and moves Y0 toward the oracle."""
@@ -255,6 +257,7 @@ def test_piecewise2d_interp_accuracy():
     assert bool(jnp.all(jnp.isfinite(g)))
 
 
+@pytest.mark.full  # hoist_gamma is a measured-slower opt-in instrument
 def test_hoist_gamma_tables_built_and_toggle(rng_key):
     """hoist_gamma=True (opt-in: measured slower than the in-scan Γ head on
     TPU, see the PricingSolver field note) builds the per-step 2-D Γ tables
@@ -285,8 +288,17 @@ def test_hoist_gamma_tables_built_and_toggle(rng_key):
     assert l_on == pytest.approx(l_off, rel=5e-4)
 
 
-@pytest.mark.parametrize("scheme", ["global", "multistep1", "sumlocal2"])
-@pytest.mark.parametrize("interp", ["clenshaw", "piecewise"])
+# quick keeps ONE representative (the shipped piecewise-global config);
+# the full equality matrix runs in the default/full tier (VERDICT r4
+# item 7: equality tests don't need to dominate the fast CI tier).
+@pytest.mark.parametrize("scheme,interp", [
+    pytest.param("global", "piecewise"),
+    pytest.param("global", "clenshaw", marks=pytest.mark.full),
+    pytest.param("multistep1", "clenshaw", marks=pytest.mark.full),
+    pytest.param("multistep1", "piecewise", marks=pytest.mark.full),
+    pytest.param("sumlocal2", "clenshaw", marks=pytest.mark.full),
+    pytest.param("sumlocal2", "piecewise", marks=pytest.mark.full),
+])
 def test_hoisted_loss_matches_inscan(rng_key, scheme, interp):
     """The hoisted per-step collocation tables (intervals from the uncoupled
     marginals, comp/pricer/Z tables computed before the scan) reproduce the
@@ -309,8 +321,14 @@ def test_hoisted_loss_matches_inscan(rng_key, scheme, interp):
     assert rel < 5e-3
 
 
-@pytest.mark.parametrize("scheme", ["global", "multistep1"])
-@pytest.mark.parametrize("chunk", [2, 5, 7])
+@pytest.mark.parametrize("scheme,chunk", [
+    pytest.param("global", 2),  # the shipped chunk — quick representative
+    pytest.param("global", 5, marks=pytest.mark.full),
+    pytest.param("global", 7, marks=pytest.mark.full),
+    pytest.param("multistep1", 2, marks=pytest.mark.full),
+    pytest.param("multistep1", 5, marks=pytest.mark.full),
+    pytest.param("multistep1", 7, marks=pytest.mark.full),
+])
 def test_scan_chunk_matches_flat_scan(rng_key, scheme, chunk):
     """Chunked time scan (outer scan over N/k blocks of k unrolled steps,
     rematerialized per chunk — the shipped speed default is scan_chunk=2)
@@ -336,8 +354,12 @@ def test_scan_chunk_matches_flat_scan(rng_key, scheme, chunk):
     assert rel < 1e-5
 
 
-@pytest.mark.parametrize("scheme", ["global", "sumlocal"])
-@pytest.mark.parametrize("chunk", [2, 16])
+@pytest.mark.parametrize("scheme,chunk", [
+    pytest.param("global", 16),  # the shipped chunk — quick representative
+    pytest.param("global", 2, marks=pytest.mark.full),
+    pytest.param("sumlocal", 2, marks=pytest.mark.full),
+    pytest.param("sumlocal", 16, marks=pytest.mark.full),
+])
 def test_mfg_scan_chunk_matches_flat_scan(rng_key, scheme, chunk):
     """MFG twin of the scan-chunk equality test: the chunked MFG training
     scan (shipped speed default scan_chunk=16 for the N=96 system — bench.py
@@ -365,6 +387,7 @@ def test_mfg_scan_chunk_matches_flat_scan(rng_key, scheme, chunk):
     assert rel < 1e-5
 
 
+@pytest.mark.full  # fuse_heads is a measured-slower opt-in instrument
 @pytest.mark.parametrize("scheme", ["global", "multistep", "sumlocal"])
 def test_mfg_fused_heads_match_split(rng_key, scheme):
     """Block-diagonal head fusion (MFGSolver(fuse_heads=True), opt-in —

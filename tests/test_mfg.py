@@ -114,7 +114,8 @@ def test_hat_loss_independent_of_full_net(rng_key):
     assert g_hat > 0.0
 
 
-@pytest.mark.parametrize("couplage", ["ON", "OFF"])
+@pytest.mark.parametrize("couplage", [
+    "ON", pytest.param("OFF", marks=pytest.mark.full)])
 def test_mfg_training_reduces_loss(couplage, rng_key):
     """Trained params beat the init params on the SAME validation noise —
     comparing the per-epoch histories directly is brittle because each epoch's

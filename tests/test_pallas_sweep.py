@@ -17,12 +17,18 @@ SPEC = CompensatorSpec(n_poisson_max=3, n_hermite=5)
 BATCH = 256  # pallas precondition: batch % 256 == 0
 
 
+# quick keeps the headline-parity pair (merton global); the other input-
+# convention twins carry ``full`` (VERDICT r4 item 7 tier split).
 @pytest.mark.parametrize("model_fn,scheme", [
     (make_merton_default, "global"),      # jump-diff, Γ-net, f = J
-    (make_merton_default, "multistep2"),  # jump-diff, Γ-net, f = e^J
-    (make_merton_default, "multistep1"),  # jump-diff, U-net, X·e^J
-    (make_vg_default, "global"),          # pure-jump, Γ-net, f = X·J
-    (make_vg_default, "sumlocal1"),       # pure-jump, U-net, X + X·J
+    pytest.param(make_merton_default, "multistep2",
+                 marks=pytest.mark.full),  # jump-diff, Γ-net, f = e^J
+    pytest.param(make_merton_default, "multistep1",
+                 marks=pytest.mark.full),  # jump-diff, U-net, X·e^J
+    pytest.param(make_vg_default, "global",
+                 marks=pytest.mark.full),  # pure-jump, Γ-net, f = X·J
+    pytest.param(make_vg_default, "sumlocal1",
+                 marks=pytest.mark.full),  # pure-jump, U-net, X + X·J
 ])
 def test_pallas_matches_xla_loss_and_grad(model_fn, scheme, rng_key):
     model = model_fn()

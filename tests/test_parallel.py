@@ -2,6 +2,14 @@
 "run the same seed on 1 chip vs k chips and assert equality of the psum'd
 gradients" — the TPU-world substitute for a fake NCCL backend)."""
 
+# Tier split (VERDICT r4 item 7): the fast ``quick`` tier keeps a small
+# representative DP set (device availability, loss==serial-mean, the
+# update/epoch path, one MFG mesh fit); the exhaustive equality matrix —
+# gradient equality, per-config hoist/chebyshev/VG twins, the 2-D
+# compensator mesh, dryrun_multichip — carries ``full`` and runs in the
+# default tier.  shard_map COMPILE time on the 8-device virtual mesh, not
+# compute, is what made these the heaviest tests in quick.
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -54,6 +62,7 @@ def test_dp_loss_equals_serial_mean(rng_key):
     assert abs(got - want) < 1e-6
 
 
+@pytest.mark.full
 def test_dp_grads_equal_serial_grads(rng_key):
     """The 8-chip psum'd gradient == single-device gradient of the mesh-mean
     loss, to float32 tolerance."""
@@ -96,6 +105,7 @@ def test_dp_update_step_and_epoch(rng_key):
     assert delta > 0
 
 
+@pytest.mark.full
 def test_compensator_sharding_matches_unsharded(rng_key):
     """2-D mesh (data=4, comp=2): sharding the quadrature node axis with psum
     must reproduce the unsharded compensator loss and gradients."""
@@ -124,6 +134,7 @@ def test_compensator_sharding_matches_unsharded(rng_key):
                                    rtol=5e-4, atol=5e-6)
 
 
+@pytest.mark.full
 def test_graft_entry_dryrun():
     import sys
     sys.path.insert(0, ".")
@@ -135,6 +146,7 @@ def test_graft_entry_dryrun():
     ge.dryrun_multichip(8)
 
 
+@pytest.mark.full
 def test_dp_fit_equals_serial_fit_of_mesh_mean(rng_key):
     """The production DP path (fit(mesh=...)) == single-device fit of the
     mesh-mean loss: same keys, same Adam, identical final params (VERDICT r1
@@ -189,6 +201,7 @@ def test_mfg_train_on_mesh(rng_key):
     assert np.isfinite(res.loss_history[-1])
 
 
+@pytest.mark.full
 def test_dp_with_chebyshev_compensator(rng_key):
     """The speed-config loss (Chebyshev-collocated compensator + pricer) runs
     under shard_map: each data shard collocates over its own spot range, and
@@ -218,6 +231,7 @@ def test_dp_with_chebyshev_compensator(rng_key):
     assert np.isfinite(gn) and gn > 0
 
 
+@pytest.mark.full
 def test_dp_with_hoisted_piecewise_tables(rng_key):
     """The round-3 production speed path (hoisted per-step collocation
     tables + piecewise evaluator — what `--fast --dataParallel` runs) under
@@ -248,6 +262,7 @@ def test_dp_with_hoisted_piecewise_tables(rng_key):
     assert np.isfinite(gn) and gn > 0
 
 
+@pytest.mark.full
 def test_vg_dp_loss_and_grads_match_serial(rng_key):
     """VG (pure-jump) speed config under shard_map: mesh loss == serial mean
     of per-shard losses, grads finite — the VG twin of the Merton DP tests

@@ -106,6 +106,7 @@ def test_net_wiring_matches_reference():
     assert set(s) == {"uz"} and s["uz"].n_out == 1
 
 
+@pytest.mark.full
 def test_chunked_mc_sweep_matches_unchunked(rng_key):
     """Node-axis chunking of the MC compensator sweep (node_block) must
     reproduce the unchunked loss and gradients exactly (VERDICT r1 item 4:
