@@ -1,6 +1,8 @@
 """Checkpoint / deterministic-resume tests (new capability — SURVEY.md §5:
 the reference keeps weights only in process memory)."""
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -48,7 +50,10 @@ def test_manager_keeps_latest(tmp_path):
 def test_resume_is_deterministic(tmp_path):
     """Training E epochs straight equals training k, checkpointing, resuming
     for E-k — the fold_in epoch keys make the noise stream restart-invariant."""
-    solver = PricingSolver(make_merton_default(), "global")
+    # N=10: restart-invariance of the key folding doesn't need the
+    # production N=50 scan (compile time dominates this CPU test).
+    solver = PricingSolver(
+        dataclasses.replace(make_merton_default(), N=10), "global")
     key = jax.random.key(5)
     params0 = solver.init_params(jax.random.key(1))
     loss_fn = solver.build_loss(8)

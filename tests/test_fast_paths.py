@@ -2,6 +2,7 @@
 reduced quadrature, bfloat16 compute.  Each fast path must agree with its
 reference-parity twin to well inside the 1e-3 Y0 gate (BASELINE.md)."""
 
+import dataclasses
 import math
 
 import jax
@@ -303,7 +304,10 @@ def test_hoisted_loss_matches_inscan(rng_key, scheme, interp):
     """The hoisted per-step collocation tables (intervals from the uncoupled
     marginals, comp/pricer/Z tables computed before the scan) reproduce the
     in-scan collocated loss and gradients."""
-    m = make_merton_default(jump_sampler="icdf", price_mode="chebyshev")
+    # N=20: the hoisted tables are built per step, so equality at N=20
+    # covers the mechanism; production-N compiles belong to the full tier.
+    m = dataclasses.replace(
+        make_merton_default(jump_sampler="icdf", price_mode="chebyshev"), N=20)
     spec = CompensatorSpec(x_interp="chebyshev", n_cheb=64)
     vals, grads = {}, {}
     for tag, kw in (("base", {}),
@@ -371,7 +375,9 @@ def test_mfg_scan_chunk_matches_flat_scan(rng_key, scheme, chunk):
     from deepfbsdejsolvers_tpu.models.mfg_smart_grid import make_mfg_default
     from deepfbsdejsolvers_tpu.solvers.mfg import MFGSolver
 
-    m = dataclasses.replace(make_mfg_default(), jump_sampler="icdf")
+    # 1-day profile (N=48, still divisible by the shipped chunk=16):
+    # equality doesn't need the production N=96 scan — VERDICT r4 item 7.
+    m = dataclasses.replace(make_mfg_default(nb_days=1), jump_sampler="icdf")
     vals, grads = {}, {}
     for tag, k in (("flat", 0), ("chunk", chunk)):
         solver = MFGSolver(m, scheme, hidden_hat=(8, 8), hidden=(8, 8),

@@ -3,6 +3,8 @@
 for every scheme/regime the packing covers.  Runs in Pallas interpret mode on
 the CPU test mesh; the same code path compiles to Mosaic on TPU."""
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -31,7 +33,9 @@ BATCH = 256  # pallas precondition: batch % 256 == 0
                  marks=pytest.mark.full),  # pure-jump, U-net, X + X·J
 ])
 def test_pallas_matches_xla_loss_and_grad(model_fn, scheme, rng_key):
-    model = model_fn()
+    # N=12: the kernel-vs-XLA comparison is per-step; rollout length only
+    # multiplies interpret-mode cost (VERDICT r4 item 7 tier budget).
+    model = dataclasses.replace(model_fn(), N=12)
     solvers = {
         impl: PricingSolver(model, scheme, compensator=SPEC, sweep_impl=impl)
         for impl in ("xla", "pallas")

@@ -56,8 +56,9 @@ def test_dp_loss_equals_serial_mean(rng_key):
     mesh = make_mesh((8,))
     dp_loss = make_dp_loss(loss_fn, mesh)
     got = float(dp_loss(params, rng_key))
+    jitted = jax.jit(loss_fn)  # one compile for the 8 serial reference evals
     want = float(np.mean([
-        float(loss_fn(params, jax.random.fold_in(rng_key, i))) for i in range(8)
+        float(jitted(params, jax.random.fold_in(rng_key, i))) for i in range(8)
     ]))
     assert abs(got - want) < 1e-6
 
