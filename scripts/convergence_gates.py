@@ -298,20 +298,24 @@ def build_registry():
                                 price_mode="chebyshev"), N=1600),
         oracle=merton_oracle, scheme="global", seeds=3, peak_lr=3e-3,
         steps=2400, warm_y0=True, time_scale=50.0 / 1600.0, **speed_kw)
-    # The VG twin (round-4 study, scripts/gate_vg_study.py n*_ts cells):
-    # mean |Y0-FFT| = 1.23/0.97/0.33/0.31/0.53/1.62 e-3 at
-    # N = 30/60/120/240/480/960 — the coupled bias decays toward the
-    # strong-Euler sqrt(N) law down to a knee at N ~ 120-240, then
-    # RISES (unlike Merton).  Hoisted-table fit error is ruled out as
-    # the cause (n960_nohoist attribution cell: 1.65e-3 with hoist OFF
-    # vs 1.62e-3 hoisted) — see BASELINE.md round-4 section.  The
-    # operational gate runs N=240: the 3/3 direct PASS (max 5.5e-4) at
-    # the knee.
+    # The VG twin (round-4 N-study + round-5 capacity/budget study,
+    # scripts/gate_vg_study.py n*_ts / n*_w64 / n*_w128 / *_long cells).
+    # With the mul_exp-exact forward walk the coupled bias is a flat
+    # all-seeds-HIGH plateau (+0.8-1.1e-3 at width 21 / 2400 steps,
+    # N-independent) — net-approximation error rectified through the aLin
+    # coupling, NOT discretization.  The round-5 two-factor study splits
+    # it: doubling the schedule alone halves it (w21@4800: mean 4.5e-4),
+    # widening alone trims ~25% and (128,128) overfits the budget into
+    # run scatter; BOTH together remove most of it — (64,64)@4800 reads
+    # 0.5/1.4/3.5 e-4 (BASELINE.md round-5 VG section).  The operational
+    # gate ships that cell: N=240, hidden (64,64), steps 4800 — ~3x
+    # margin on the seed max vs round-4's 1.1x.
     g["vg_coupled_direct"] = dict(
         model=dataclasses.replace(
             make_vg_default(a_lin=0.1), price_eval="chebyshev", N=240),
         oracle=vg_oracle, scheme="global", seeds=3, peak_lr=3e-3,
-        steps=2400, warm_y0=True, time_scale=30.0 / 240.0, **speed_kw)
+        steps=4800, warm_y0=True, time_scale=30.0 / 240.0,
+        hidden=(64, 64), **speed_kw)
     # Reference-faithful numerics on the same budget.
     g["merton_direct"] = dict(
         model=merton, oracle=merton_oracle, scheme="multistep1",

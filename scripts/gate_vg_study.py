@@ -82,6 +82,12 @@ def _ts_cell(n, width=None):
     return dict(tail_epochs=6, warm_y0=True, n_steps=n, solver_kw=kw)
 
 
+def _long(cell):
+    c = dict(cell)
+    c.update(steps=4800, tail_epochs=12)
+    return c
+
+
 VARIANTS = {
     "std": dict(),
     "long": dict(steps=4800, tail_epochs=12),
@@ -108,6 +114,13 @@ VARIANTS = {
     "n240_w128": _ts_cell(240, 128),
     "n480_w128": _ts_cell(480, 128),
     "n960_w128": _ts_cell(960, 128),
+    # round-5 budget arm: the decisive cells at a doubled (4800-step)
+    # cosine schedule — separates optimization budget from capacity in
+    # the plateau (BASELINE.md round-5 VG section).  n240_w21_long is the
+    # budget-only control at the reference width.
+    "n240_w21_long": _long(_ts_cell(240)),
+    "n240_w64_long": _long(_ts_cell(240, 64)),
+    "n480_w128_long": _long(_ts_cell(480, 128)),
 }
 
 
