@@ -13,6 +13,16 @@ os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
 
+# Persistent XLA compilation cache: the suite is compile-bound on CPU (tiny
+# shapes, many distinct jit traces), and cache keys are HLO hashes, so reuse
+# is exact.  Measured: the heaviest equality test drops 18.5 s -> 6.8 s on a
+# warm cache; the whole quick tier ~9 min -> ~4 min.  setdefault so CI can
+# point it elsewhere or disable with JAX_COMPILATION_CACHE_DIR="".
+_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _cache_dir)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
 import jax  # noqa: E402
 
 # FBSDEJ_TPU_TESTS=1 keeps the real accelerator visible — ONLY for the
